@@ -1,0 +1,366 @@
+"""Host orchestrator: per-file (k,e)-frequency computation.
+
+Drives the jitted block mapper (search/engine.py) over batches of k-mer
+blocks, handles the capacity-tier escalation, assembles the per-file
+frequency vector, the CSV location table and the exclude-pseudo reduction.
+
+Capability map to the reference:
+  - per-file segmentation loop            mappability.hpp:276-365
+  - block decomposition + compute         algo.hpp:405-483
+  - resetLimits boundary zeroing          algo.hpp:10-22
+  - CSV location collection               algo.hpp:311-386
+  - exclude-pseudo distinct-file count    algo.hpp:351-364
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from genmap_tpu.alphabet import comp_codes
+from genmap_tpu.index.fmindex import FMIndexData
+from genmap_tpu.ops.rank import DeviceIndex, locate
+from genmap_tpu.search.engine import DEFAULT_TIERS, Tier, make_block_mapper
+
+
+@dataclass
+class SearchParams:
+    """Mirrors the reference SearchParams (/root/reference/src/common.hpp:67-74).
+
+    `overlap` is the length of the common overlap infix (the post-transform
+    value of mappability.hpp:543).
+    """
+
+    length: int
+    overlap: int
+    rev_compl: bool = True
+    exclude_pseudo: bool = False
+
+
+@dataclass
+class FileLayout:
+    """Per-fasta-file view of the index."""
+
+    name: str
+    seq_ids: list[int]  # global sequence indices
+    chrom_names: list[str]
+    chrom_lens: np.ndarray  # int64
+    cum_lens: np.ndarray  # int64, leading 0
+    start: int  # start offset in the global concatenated text (no sentinels)
+    length: int  # total bases in this file
+
+
+def file_layouts(data: FMIndexData) -> list[FileLayout]:
+    layouts: list[FileLayout] = []
+    pos = 0
+    i = 0
+    nseq = data.nseq
+    while i < nseq:
+        j = i
+        while j < nseq and data.seq_files[j] == data.seq_files[i]:
+            j += 1
+        lens = data.seq_lens[i:j].astype(np.int64)
+        cum = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=cum[1:])
+        layouts.append(
+            FileLayout(
+                name=data.seq_files[i],
+                seq_ids=list(range(i, j)),
+                chrom_names=data.seq_names[i:j],
+                chrom_lens=lens,
+                cum_lens=cum,
+                start=pos,
+                length=int(lens.sum()),
+            )
+        )
+        pos += int(lens.sum())
+        i = j
+    return layouts
+
+
+def reset_limits(c: np.ndarray, K: int, cum_lens: np.ndarray) -> None:
+    """Zero k-mers spanning sequence boundaries (algo.hpp:10-22)."""
+    for i in range(1, len(cum_lens)):
+        hi = int(cum_lens[i])
+        seq_len = int(cum_lens[i] - cum_lens[i - 1])
+        for j in range(1, min(K, seq_len + 1)):
+            c[hi - j] = 0
+
+
+@dataclass
+class FileResult:
+    c: np.ndarray  # uint32 frequency vector (clamped to cap)
+    locations: dict  # {(i1,i2): (fwd_locs, rc_locs)} with per-file keys
+    layout: FileLayout
+
+
+class MappabilityEngine:
+    def __init__(
+        self,
+        data: FMIndexData,
+        batch_blocks: int = 256,
+        tiers: tuple[Tier, ...] = DEFAULT_TIERS,
+    ):
+        self.data = data
+        self.index = DeviceIndex.from_host(data)
+        self.text = data.decode_text()
+        self.layouts = file_layouts(data)
+        self.batch_blocks = batch_blocks
+        self.tiers = tiers
+        self._runners: dict = {}
+        self._locate_fn = jax.jit(lambda pos, valid: locate(self.index, pos, valid))
+        self._locate_chunk = 1 << 14
+        # global sequence id -> file ordinal, for exclude-pseudo
+        self.seq_file_id = np.zeros(data.nseq, dtype=np.int64)
+        fid = 0
+        for k in range(1, data.nseq):
+            if data.seq_files[k] != data.seq_files[k - 1]:
+                fid += 1
+            self.seq_file_id[k] = fid
+        self.n_files = fid + 1
+
+    # ------------------------------------------------------------------
+
+    def _runner(self, K, errors, o, J, B, tier, cap, rev_compl, with_states):
+        key = (K, errors, o, J, B, tier, cap, rev_compl, with_states)
+        if key not in self._runners:
+            self._runners[key] = make_block_mapper(
+                self.index,
+                K=K,
+                errors=errors,
+                overlap=o,
+                J=J,
+                B=B,
+                tier=tier,
+                cap=cap,
+                rev_compl=rev_compl,
+                with_states=with_states,
+            )
+        return self._runners[key]
+
+    def locate_many(self, positions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Resolve SA rows to (seq_no, seq_pos) pairs, chunked on device."""
+        n = len(positions)
+        i1 = np.empty(n, dtype=np.uint32)
+        i2 = np.empty(n, dtype=np.uint32)
+        ch = self._locate_chunk
+        for s in range(0, n, ch):
+            part = positions[s : s + ch].astype(np.uint32)
+            pad = ch - len(part)
+            pp = np.concatenate([part, np.zeros(pad, np.uint32)])
+            vv = np.concatenate([np.ones(len(part), bool), np.zeros(pad, bool)])
+            r1, r2 = self._locate_fn(pp, vv)
+            i1[s : s + ch] = np.asarray(r1)[: len(part)]
+            i2[s : s + ch] = np.asarray(r2)[: len(part)]
+        return i1, i2
+
+    # ------------------------------------------------------------------
+
+    def compute_file(
+        self,
+        layout: FileLayout,
+        params: SearchParams,
+        errors: int,
+        cap: int,
+        intervals: list[tuple[int, int]] | None = None,
+        csv: bool = False,
+    ) -> FileResult:
+        """Compute the frequency vector (and CSV locations) for one file.
+
+        `intervals` are cumulative [begin, end) position ranges within the
+        file (BED selection, mappability.hpp:276-365); None = whole file.
+        """
+        K = params.length
+        o = params.overlap
+        J = K - o + 1
+        L = layout.length
+        text = self.text[layout.start : layout.start + L]
+        c = np.zeros(L, dtype=np.uint32)
+        locations: dict = {}
+        csv_needed = csv or params.exclude_pseudo
+
+        nkmers = L - K + 1
+        if nkmers <= 0:
+            return FileResult(c=c, locations=locations, layout=layout)
+
+        # block starts + per-block k-mer counts (algo.hpp:434-451)
+        if intervals is None:
+            starts = np.arange(0, nkmers, J, dtype=np.int64)
+            ends = np.minimum(starts + J, nkmers)
+        else:
+            ss, ee = [], []
+            for b, e_ in intervals:
+                for i in range(b, e_, J):
+                    ss.append(i)
+                    ee.append(min(i + J, e_, nkmers))
+            starts = np.array(ss, dtype=np.int64)
+            ends = np.array(ee, dtype=np.int64)
+            keep = ends > starts
+            starts, ends = starts[keep], ends[keep]
+        cnts = (ends - starts).astype(np.int32)
+        if len(starts) == 0:
+            return FileResult(c=c, locations=locations, layout=layout)
+
+        pending = np.arange(len(starts))
+        B0 = self.batch_blocks
+        for t_i, tier in enumerate(self.tiers):
+            if len(pending) == 0:
+                break
+            B = max(8, B0 * self.tiers[0].f_extend // tier.f_extend)
+            run = self._runner(K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed)
+            still: list[np.ndarray] = []
+            for s in range(0, len(pending), B):
+                sel = pending[s : s + B]
+                out = self._run_batch(run, text, starts[sel], cnts[sel], B, K, J, params)
+                ovf = np.asarray(out["overflow"])[: len(sel)]
+                ok = ~ovf
+                self._scatter_batch(
+                    c, locations, out, starts[sel], cnts[sel], ok, layout, params, K, J,
+                    errors, cap, csv_needed, csv,
+                )
+                still.append(sel[ovf])
+            pending = np.concatenate(still) if still else np.empty(0, np.int64)
+        if len(pending):
+            raise RuntimeError(
+                f"{len(pending)} blocks overflowed the largest frontier tier"
+            )
+
+        reset_limits(c, K, layout.cum_lens)
+        return FileResult(c=c, locations=locations, layout=layout)
+
+    # ------------------------------------------------------------------
+
+    def _run_batch(self, run, text, bstarts, bcnts, B, K, J, params):
+        nb = len(bstarts)
+        Ln = K + J - 1
+        pad_b = B - nb
+        starts = np.concatenate([bstarts, np.zeros(pad_b, np.int64)])
+        cnts = np.concatenate([bcnts, np.zeros(pad_b, np.int32)])
+        idx = starts[:, None] + np.arange(Ln)[None, :]
+        ok = idx < len(text)
+        needles = np.where(ok, text[np.minimum(idx, len(text) - 1)], 0).astype(np.uint8)
+        if params.rev_compl:
+            comp = comp_codes(needles)
+            vlen = (K + cnts - 1)[:, None]
+            rc_idx = vlen - 1 - np.arange(Ln)[None, :]
+            take = np.clip(rc_idx, 0, Ln - 1)
+            needles_rc = np.where(
+                rc_idx >= 0, np.take_along_axis(comp, take, axis=1), 0
+            ).astype(np.uint8)
+        else:
+            needles_rc = needles
+        return run(needles, needles_rc, cnts.astype(np.int32))
+
+    # ------------------------------------------------------------------
+
+    def _scatter_batch(
+        self, c, locations, out, bstarts, bcnts, ok, layout, params, K, J,
+        errors, cap, csv_needed, csv_out,
+    ):
+        hits = np.asarray(out["hits"])
+        nb = len(bstarts)
+        for b in range(nb):
+            if not ok[b]:
+                continue
+            i0 = int(bstarts[b])
+            cnt = int(bcnts[b])
+            c[i0 : i0 + cnt] = hits[b, :cnt]
+
+        if not csv_needed:
+            return
+
+        exact_size = np.asarray(out["exact_size"])
+        exact_flo = np.asarray(out["exact_flo"])
+        states = tuple(np.asarray(a) for a in out["states"])
+        states_rc = (
+            tuple(np.asarray(a) for a in out["states_rc"]) if params.rev_compl else None
+        )
+        self._csv_batch(
+            c, locations, bstarts, bcnts, ok, states, states_rc, exact_size,
+            exact_flo, layout, params, K, errors, cap, csv_out,
+        )
+
+    def _csv_batch(
+        self, c, locations, bstarts, bcnts, ok, states, states_rc, exact_size,
+        exact_flo, layout, params, K, errors, cap, csv_out,
+    ):
+        """CSV location lists + exclude-pseudo (algo.hpp:311-400)."""
+        flo, size, err, valid = states
+        # collect all SA rows to locate in one go
+        jobs: list[tuple] = []  # (kind, b, j, row_offset, count)
+        rows: list[np.ndarray] = []
+
+        def push(lo, n):
+            rows.append(np.arange(lo, lo + n, dtype=np.int64))
+
+        nb = len(bstarts)
+        for b in range(nb):
+            if not ok[b]:
+                continue
+            cnt = int(bcnts[b])
+            for j in range(cnt):
+                for f in np.nonzero(valid[b, j])[0]:
+                    n = int(size[b, j, f])
+                    if n:
+                        jobs.append(("fwd", b, j, sum(map(len, rows)), n))
+                        push(int(flo[b, j, f]), n)
+                if states_rc is not None:
+                    flo_r, size_r, err_r, valid_r = states_rc
+                    jr = cnt - 1 - j
+                    for f in np.nonzero(valid_r[b, jr])[0]:
+                        n = int(size_r[b, jr, f])
+                        if n:
+                            jobs.append(("rc", b, j, sum(map(len, rows)), n))
+                            push(int(flo_r[b, jr, f]), n)
+                es = int(exact_size[b, j])
+                if es > 1:
+                    jobs.append(("exact", b, j, sum(map(len, rows)), es))
+                    push(int(exact_flo[b, j]), es)
+
+        if not jobs:
+            return
+        all_rows = np.concatenate(rows)
+        i1, i2 = self.locate_many(all_rows)
+
+        per_kmer: dict[tuple[int, int], dict] = {}
+        for kind, b, j, off, n in jobs:
+            d = per_kmer.setdefault((b, j), {"fwd": [], "rc": [], "exact": []})
+            d[kind].append((i1[off : off + n], i2[off : off + n]))
+
+        directory = self.data.directory
+        for (b, j), d in per_kmer.items():
+            p = int(bstarts[b]) + j
+
+            def merged(lsts):
+                if not lsts:
+                    return np.empty(0, np.int64), np.empty(0, np.int64)
+                a1 = np.concatenate([x[0] for x in lsts]).astype(np.int64)
+                a2 = np.concatenate([x[1] for x in lsts]).astype(np.int64)
+                order = np.lexsort((a2, a1))
+                return a1[order], a2[order]
+
+            f1, f2 = merged(d["fwd"])
+            r1, r2 = merged(d["rc"])
+
+            if params.exclude_pseudo:
+                files = set(self.seq_file_id[f1]) | set(self.seq_file_id[r1])
+                c[p] = min(len(files), cap)
+
+            if not csv_out:
+                continue
+
+            entry = ((f1, f2), (r1, r2))
+            es = int(exact_size[b, j]) if len(d["exact"]) or True else 0
+            if not directory and es > 1:
+                e1, e2 = d["exact"][0]
+                for q1, q2 in zip(e1.astype(np.int64), e2.astype(np.int64)):
+                    if q2 <= int(self.data.seq_lens[q1]) - K:
+                        locations[(int(q1), int(q2))] = entry
+            elif len(f1) + len(r1) > 0:
+                # localize p within this file's chromosomes
+                s = int(np.searchsorted(layout.cum_lens, p, side="right") - 1)
+                i2p = p - int(layout.cum_lens[s])
+                if i2p <= int(layout.chrom_lens[s]) - K:
+                    locations[(s, i2p)] = entry

@@ -1,0 +1,244 @@
+"""Batched FM-index rank / LF primitives (pure-jnp reference path).
+
+Every rank query gathers ONE rank row (see index/fmindex.py layout) and
+finishes with vectorized popcounts on the VPU — this is the TPU-native
+equivalent of the constant-time EPR prefix-rank queries the reference gets
+from SeqAn (config /root/reference/src/common.hpp:38-49; hot call sites
+/root/reference/src/algo.hpp and find2_index_approx.hpp via goDown/goRight).
+
+All functions are shape-polymorphic over a leading batch shape and jit/vmap
+friendly.  Positions, interval bounds and counts are uint32 (inputs up to
+4 Gbp; larger genomes need the 64-bit row variant, not built yet).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genmap_tpu.index.fmindex import (
+    BITWORDS,
+    COL_LE,
+    COL_SBITS,
+    COL_SCNT,
+    COL_WORDS,
+    WORDS,
+    FMIndexData,
+    _col_icnt,
+    _col_ncnt,
+)
+
+_U32 = jnp.uint32
+_MASK55 = np.uint32(0x55555555)
+_FULL = np.uint32(0xFFFFFFFF)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DeviceIndex:
+    """Device-resident bidirectional FM-index."""
+
+    fwd_blocks: jax.Array  # [nb, W] uint32
+    rev_blocks: jax.Array
+    C: jax.Array  # [6] uint32
+    sa_i1: jax.Array  # sampled SA values
+    sa_i2: jax.Array
+    has_n: bool = field(metadata={"static": True})
+    sampling: int = field(metadata={"static": True})
+    n_total: int = field(metadata={"static": True})
+
+    @property
+    def nchars(self) -> int:
+        return 5 if self.has_n else 4
+
+    @staticmethod
+    def from_host(data: FMIndexData) -> "DeviceIndex":
+        return DeviceIndex(
+            fwd_blocks=jnp.asarray(data.fwd.blocks),
+            rev_blocks=jnp.asarray(data.rev.blocks),
+            C=jnp.asarray(data.C.astype(np.uint32)),
+            sa_i1=jnp.asarray(data.sa_i1),
+            sa_i2=jnp.asarray(data.sa_i2),
+            has_n=data.has_n,
+            sampling=data.sampling,
+            n_total=data.n_total,
+        )
+
+
+def _field_masks(off: jax.Array) -> jax.Array:
+    """Per-word 2-bit-field masks selecting fields < off.  off: [...] int32."""
+    nf = jnp.clip(off[..., None] - 16 * jnp.arange(WORDS, dtype=jnp.int32), 0, 16)
+    sh = jnp.minimum(2 * nf, 31).astype(_U32)
+    return jnp.where(nf >= 16, _FULL, (_U32(1) << sh) - _U32(1))
+
+
+def _bit_masks(off: jax.Array) -> jax.Array:
+    """Per-word bit masks selecting bits < off."""
+    nb = jnp.clip(off[..., None] - 32 * jnp.arange(BITWORDS, dtype=jnp.int32), 0, 32)
+    sh = jnp.minimum(nb, 31).astype(_U32)
+    return jnp.where(nb >= 32, _FULL, (_U32(1) << sh) - _U32(1))
+
+
+def _popcount_sum(x: jax.Array) -> jax.Array:
+    return jax.lax.population_count(x).sum(axis=-1, dtype=_U32)
+
+
+def _bitvec_count(rows: jax.Array, col: int, bmask: jax.Array) -> jax.Array:
+    """Absolute count of a (count, bits[4]) bitvector group at position off."""
+    return rows[..., col] + _popcount_sum(rows[..., col + 1 : col + 1 + BITWORDS] & bmask)
+
+
+def occ_counts(rows: jax.Array, p: jax.Array, has_n: bool) -> tuple[jax.Array, ...]:
+    """From gathered rank rows at positions p, compute prefix counts at p.
+
+    Returns (real_le0, real_le1, real_le2, real_le3, sent, ncnt): each [...]
+    uint32, where real_le{k} counts real characters with code <= k in
+    BWT[0..p) and sent/ncnt count sentinels / Ns.
+    """
+    off = (p & _U32(127)).astype(jnp.int32)
+    fmask = _field_masks(off)
+    w = rows[..., COL_WORDS : COL_WORDS + WORDS]
+    hi = w >> _U32(1)
+    le0 = _popcount_sum(~(w | hi) & _MASK55 & fmask)
+    le1 = _popcount_sum(~hi & _MASK55 & fmask)
+    le2 = _popcount_sum(~(hi & w) & _MASK55 & fmask)
+
+    bmask = _bit_masks(off)
+    sent = _bitvec_count(rows, COL_SCNT, bmask)
+    if has_n:
+        ncnt = _bitvec_count(rows, _col_ncnt(has_n), bmask)
+    else:
+        ncnt = jnp.zeros_like(sent)
+
+    le0 = rows[..., COL_LE + 0] + le0 - sent - ncnt
+    le1 = rows[..., COL_LE + 1] + le1 - sent - ncnt
+    le2 = rows[..., COL_LE + 2] + le2 - sent - ncnt
+    le3 = p - sent - ncnt
+    return le0, le1, le2, le3, sent, ncnt
+
+
+def _occ_smaller(rows: jax.Array, p: jax.Array, has_n: bool) -> tuple[jax.Array, jax.Array]:
+    """Per-character occurrence and smaller-than counts at positions p.
+
+    Returns (occ, smaller), both [..., A] uint32 with A = 4 + has_n:
+      occ[c]     = #{i < p : BWT[i] == c}
+      smaller[c] = #{i < p : BWT[i] < c}  (sentinels count as smallest)
+    """
+    le0, le1, le2, le3, sent, ncnt = occ_counts(rows, p, has_n)
+    occ = [le0, le1 - le0, le2 - le1, le3 - le2]
+    smaller = [sent, sent + le0, sent + le1, sent + le2]
+    if has_n:
+        occ.append(ncnt)
+        smaller.append(sent + le3)
+    return jnp.stack(occ, axis=-1), jnp.stack(smaller, axis=-1)
+
+
+def extend_all(
+    index: DeviceIndex,
+    right: bool,
+    mlo: jax.Array,
+    size: jax.Array,
+    olo: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Bidirectional extension by EVERY candidate character at once.
+
+    The state is the bidirectional SA-interval pair: in the *main* index (rev
+    index when extending right, fwd index when extending left) the interval is
+    [mlo, mlo+size); in the *other* index it is [olo, olo+size).  Descending
+    one character updates the main interval by LF and shifts the other
+    interval by the number of smaller-character occurrences — the standard
+    2FM-index synchronisation (capability of SeqAn's bidirectional iterator,
+    22 call sites in /root/reference/src/algo.hpp).
+
+    Returns (new_mlo, new_size, new_olo), each [..., A].
+    """
+    blocks = index.rev_blocks if right else index.fwd_blocks
+    p_lo = mlo
+    p_hi = mlo + size
+    rows_lo = jnp.take(blocks, (p_lo >> _U32(7)).astype(jnp.int32), axis=0)
+    rows_hi = jnp.take(blocks, (p_hi >> _U32(7)).astype(jnp.int32), axis=0)
+    occ_lo, sm_lo = _occ_smaller(rows_lo, p_lo, index.has_n)
+    occ_hi, sm_hi = _occ_smaller(rows_hi, p_hi, index.has_n)
+    A = occ_lo.shape[-1]
+    new_mlo = index.C[:A] + occ_lo
+    new_size = occ_hi - occ_lo
+    new_olo = olo[..., None] + (sm_hi - sm_lo)
+    return new_mlo, new_size, new_olo
+
+
+def bwt_char(rows: jax.Array, p: jax.Array, has_n: bool) -> tuple[jax.Array, jax.Array]:
+    """Read (code, is_sentinel) of BWT position p from its gathered row."""
+    off = (p & _U32(127)).astype(jnp.int32)
+    widx = off >> 4
+    wsh = ((off & 15) * 2).astype(_U32)
+    words = rows[..., COL_WORDS : COL_WORDS + WORDS]
+    word = jnp.take_along_axis(words, widx[..., None], axis=-1)[..., 0]
+    code = (word >> wsh) & _U32(3)
+    bidx = off >> 5
+    bsh = (off & 31).astype(_U32)
+    sbit = (
+        jnp.take_along_axis(
+            rows[..., COL_SBITS : COL_SBITS + BITWORDS], bidx[..., None], axis=-1
+        )[..., 0]
+        >> bsh
+    ) & _U32(1)
+    if has_n:
+        cn = _col_ncnt(has_n)
+        nbit = (
+            jnp.take_along_axis(
+                rows[..., cn + 1 : cn + 1 + BITWORDS], bidx[..., None], axis=-1
+            )[..., 0]
+            >> bsh
+        ) & _U32(1)
+        code = jnp.where(nbit == 1, _U32(4), code)
+    return code, sbit
+
+
+def locate(index: DeviceIndex, pos: jax.Array, valid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Resolve SA rows to (seq_no, seq_pos) via LF walks to a sampled row.
+
+    Equivalent to SeqAn's getOccurrences on the sampled compressed SA
+    (sampling scheme of /root/reference/src/seqan_libdivsufsort.h:106-147).
+    Walk length is bounded by the sampling rate.  `valid` masks garbage rows.
+    """
+    has_n = index.has_n
+    ci = _col_icnt(has_n)
+
+    def body(_, carry):
+        p, steps, done = carry
+        rows = jnp.take(index.fwd_blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
+        off = (p & _U32(127)).astype(jnp.int32)
+        bidx = off >> 5
+        bsh = (off & 31).astype(_U32)
+        ibit = (
+            jnp.take_along_axis(
+                rows[..., ci + 1 : ci + 1 + BITWORDS], bidx[..., None], axis=-1
+            )[..., 0]
+            >> bsh
+        ) & _U32(1)
+        now_done = (ibit == 1) & ~done
+        # LF step for not-done rows
+        code, _sbit = bwt_char(rows, p, has_n)
+        occ, _sm = _occ_smaller(rows, p, has_n)
+        occ_c = jnp.take_along_axis(occ, code.astype(jnp.int32)[..., None], axis=-1)[..., 0]
+        p_next = jnp.take(index.C, code.astype(jnp.int32)) + occ_c
+        p2 = jnp.where(done | now_done, p, p_next)
+        steps2 = jnp.where(done | now_done, steps, steps + 1)
+        return p2, steps2, done | now_done
+
+    steps0 = jnp.zeros_like(pos)
+    done0 = ~valid
+    p_f, steps_f, _ = jax.lax.fori_loop(0, index.sampling, body, (pos, steps0, done0))
+
+    # final: p_f has its indicator bit set (for valid rows); rank -> value idx
+    rows = jnp.take(index.fwd_blocks, (p_f >> _U32(7)).astype(jnp.int32), axis=0)
+    off = (p_f & _U32(127)).astype(jnp.int32)
+    bmask = _bit_masks(off)
+    irank = _bitvec_count(rows, ci, bmask)
+    vidx = jnp.where(valid, irank, 0).astype(jnp.int32)
+    i1 = jnp.take(index.sa_i1, vidx)
+    i2 = jnp.take(index.sa_i2, vidx) + steps_f
+    return i1, i2

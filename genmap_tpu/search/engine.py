@@ -1,0 +1,301 @@
+"""Lockstep tensorized (k,e)-search over blocks of adjacent k-mers.
+
+TPU-native re-design of the reference's per-block recursion
+(/root/reference/src/algo.hpp:221-403 + find2_index_approx.hpp:377-428):
+
+  * a batch of B blocks is processed at once; each block contributes one
+    common overlap infix that is searched with every optimal search scheme
+  * search states (bidirectional SA intervals + error count) live in a fixed
+    capacity frontier tensor [B, F]; every step extends ALL states by ALL
+    candidate characters at once (one rank-row gather pair per state, the
+    candidate fan-out is free), prunes by the scheme's (l, u) bounds and empty
+    intervals, and compacts the frontier with top_k
+  * surviving infix matches are then extended bidirectionally to every k-mer
+    window of the block (the adjacent-k-mer reuse trick of algo.hpp:26-218),
+    again as a lockstep frontier over [B, J kmers, F states]
+  * frontier overflows are flagged per block and re-run at a higher capacity
+    tier by the host — semantics stay exact, capacity only affects speed
+
+Counting semantics proved equivalent to the reference's enumeration: each
+distinct length-K string within Hamming distance <= e of a window is visited
+exactly once (OSS partition over the infix x unique extension), and saturating
+addition of interval sizes is order-independent.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genmap_tpu.ops.rank import DeviceIndex, extend_all
+from genmap_tpu.search.schemes import SearchPlan, plans_for
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+@dataclass(frozen=True)
+class Tier:
+    """Frontier capacities: infix search, collected survivors, extension."""
+
+    f_search: int
+    f_collect: int
+    f_extend: int
+
+
+DEFAULT_TIERS = (
+    Tier(8, 16, 16),
+    Tier(64, 128, 128),
+    Tier(512, 1024, 1024),
+    Tier(4096, 8192, 8192),
+    Tier(16384, 32768, 32768),
+)
+
+
+def _compact(arrays, valid, F):
+    """Keep (up to) F valid states; returns (arrays, valid, overflowed)."""
+    key = valid.astype(_I32)
+    _vals, idx = jax.lax.top_k(key, F)
+    out_valid = jnp.take_along_axis(valid, idx, axis=-1)
+    out = tuple(
+        jnp.where(out_valid, jnp.take_along_axis(a, idx, axis=-1), 0) for a in arrays
+    )
+    overflow = valid.sum(axis=-1) > F
+    return out, out_valid, overflow
+
+
+def _candidate_step(index, right, flo, rlo, size, err, valid, nch, e_or_u, lreq):
+    """Extend every state by every candidate char; return [..., A] candidates.
+
+    nch broadcasts against the state batch shape; e_or_u/lreq are the error
+    bounds after this step (scalars or broadcastable).
+    """
+    mlo = rlo if right else flo
+    olo = flo if right else rlo
+    nmlo, nsize, nolo = extend_all(index, right, mlo, size, olo)
+    A = nmlo.shape[-1]
+    cand = jnp.arange(A, dtype=_U32)
+    cshape = (1,) * (nch.ndim) + (A,)
+    delta = (cand.reshape(cshape) != nch[..., None]) | (nch[..., None] == 4)
+    err2 = err[..., None] + delta.astype(_I32)
+    valid2 = valid[..., None] & (err2 <= e_or_u) & (err2 >= lreq) & (nsize > 0)
+    nflo = nolo if right else nmlo
+    nrlo = nmlo if right else nolo
+    return nflo, nrlo, nsize, err2, valid2
+
+
+def _flatten2(x):
+    return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+
+
+def _run_search_plan(index, plan: SearchPlan, infix_off: int, needles, B, F, n_total):
+    """Run one search plan over a batch of needle infixes.
+
+    Returns survivors (flo, rlo, size, err, valid) [B, F] and overflow [B].
+    """
+    flo = jnp.zeros((B, F), _U32)
+    rlo = jnp.zeros((B, F), _U32)
+    size = jnp.zeros((B, F), _U32).at[:, 0].set(_U32(n_total))
+    err = jnp.zeros((B, F), _I32)
+    valid = jnp.zeros((B, F), bool).at[:, 0].set(True)
+    ovf = jnp.zeros((B,), bool)
+
+    for seg in plan.segments:
+        xs = (
+            jnp.asarray(seg.pos + infix_off),
+            jnp.asarray(seg.u),
+            jnp.asarray(seg.lreq),
+        )
+
+        def body(carry, x, right=seg.right):
+            flo, rlo, size, err, valid, ovf = carry
+            pos, u, lreq = x
+            nch = needles[:, pos].astype(_U32)  # [B]
+            nflo, nrlo, nsize, err2, valid2 = _candidate_step(
+                index, right, flo, rlo, size, err, valid, nch[:, None], u, lreq
+            )
+            arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
+            v = _flatten2(valid2)
+            (flo, rlo, size, err), valid, of = _compact(arrays, v, F)
+            return (flo, rlo, size, err, valid, ovf | of), None
+
+        (flo, rlo, size, err, valid, ovf), _ = jax.lax.scan(
+            body, (flo, rlo, size, err, valid, ovf), xs
+        )
+    return (flo, rlo, size, err, valid), ovf
+
+
+def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total):
+    """All search schemes; survivors merged into a [B, f_collect] frontier."""
+    Fc = tier.f_collect
+    c_flo = jnp.zeros((B, Fc), _U32)
+    c_rlo = jnp.zeros((B, Fc), _U32)
+    c_size = jnp.zeros((B, Fc), _U32)
+    c_err = jnp.zeros((B, Fc), _I32)
+    c_valid = jnp.zeros((B, Fc), bool)
+    ovf = jnp.zeros((B,), bool)
+
+    for plan in plans:
+        (flo, rlo, size, err, valid), of = _run_search_plan(
+            index, plan, infix_off, needles, B, tier.f_search, n_total
+        )
+        ovf = ovf | of
+        arrays = (
+            jnp.concatenate([c_flo, flo], axis=-1),
+            jnp.concatenate([c_rlo, rlo], axis=-1),
+            jnp.concatenate([c_size, size], axis=-1),
+            jnp.concatenate([c_err, err], axis=-1),
+        )
+        v = jnp.concatenate([c_valid, valid], axis=-1)
+        (c_flo, c_rlo, c_size, c_err), c_valid, of2 = _compact(arrays, v, Fc)
+        ovf = ovf | of2
+    return (c_flo, c_rlo, c_size, c_err, c_valid), ovf
+
+
+def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
+    """Extend infix survivors to every k-mer window of each block.
+
+    k-mer j of a block covers needle positions [j, j+K); the infix covers
+    [K-o, K) with o = K-J+1, so j needs the left part [j, J-1) consumed
+    right-to-left and the right part [K, j+K) consumed left-to-right
+    (the lockstep equivalent of algo.hpp:26-218's doubling extension).
+    """
+    Fe = tier.f_extend
+    s_flo, s_rlo, s_size, s_err, s_valid = survivors
+    Fc = s_flo.shape[-1]
+
+    def bjf(a):
+        return jnp.broadcast_to(a[:, None, :], (B, J, Fc))
+
+    pad = Fe - Fc
+    assert pad >= 0
+
+    def padded(a, dtype):
+        a = bjf(a)
+        return jnp.concatenate([a, jnp.zeros((B, J, pad), dtype)], axis=-1)
+
+    flo = padded(s_flo, _U32)
+    rlo = padded(s_rlo, _U32)
+    size = padded(s_size, _U32)
+    err = padded(s_err, _I32)
+    valid = padded(s_valid, bool)
+    ovf = jnp.zeros((B,), bool)
+
+    if J > 1:
+        T = J - 1
+        jj = np.arange(J)
+        phases = (
+            (True, K + np.arange(T), np.arange(T)[:, None] < jj[None, :]),
+            (False, (J - 2) - np.arange(T), np.arange(T)[:, None] < (J - 1 - jj)[None, :]),
+        )
+        for right, pos_arr, act_arr in phases:
+            xs = (jnp.asarray(pos_arr, _I32), jnp.asarray(act_arr))
+
+            def body(carry, x, right=right):
+                flo, rlo, size, err, valid, ovf = carry
+                pos, act = x  # act: [J]
+                nch = needles[:, pos].astype(_U32)  # [B]
+                nflo, nrlo, nsize, err2, valid2 = _candidate_step(
+                    index,
+                    right,
+                    flo,
+                    rlo,
+                    size,
+                    err,
+                    valid,
+                    nch[:, None, None],
+                    errors,
+                    0,
+                )
+                A = nflo.shape[-1]
+                actb = act[None, :, None, None]
+                c0 = (jnp.arange(A) == 0).reshape(1, 1, 1, A)
+                # inactive k-mers pass their states through candidate slot 0
+                nflo = jnp.where(actb, nflo, flo[..., None])
+                nrlo = jnp.where(actb, nrlo, rlo[..., None])
+                nsize = jnp.where(actb, nsize, size[..., None])
+                err2 = jnp.where(actb, err2, err[..., None])
+                valid2 = jnp.where(actb, valid2, valid[..., None] & c0)
+                arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
+                v = _flatten2(valid2)
+                (flo, rlo, size, err), valid, of = _compact(arrays, v, Fe)
+                return (flo, rlo, size, err, valid, ovf | of.any(axis=-1)), None
+
+            (flo, rlo, size, err, valid, ovf), _ = jax.lax.scan(
+                body, (flo, rlo, size, err, valid, ovf), xs
+            )
+    return (flo, rlo, size, err, valid), ovf
+
+
+def make_block_mapper(
+    index: DeviceIndex,
+    *,
+    K: int,
+    errors: int,
+    overlap: int,
+    J: int,
+    B: int,
+    tier: Tier,
+    cap: int,
+    rev_compl: bool,
+    with_states: bool = False,
+):
+    """Build the jitted batch mapper for one configuration.
+
+    Input per batch: needles [B, K+J-1] uint8 (fwd), needles_rc (rc of the
+    valid needle prefix, only used when rev_compl), cnt [B] int32 = number of
+    valid k-mers per block.
+
+    Output: dict with hits [B, J] uint32 (clamped to cap), exact_size /
+    exact_flo [B, J] uint32 (the zero-error match interval, for the same-kmer
+    duplication logic, algo.hpp:389-396), overflow [B] bool, and, when
+    with_states, the final extension state tensors for CSV location listing.
+    """
+    o = overlap
+    assert o == K - J + 1
+    plans = plans_for(errors, o)
+    infix_off = K - o
+    n_total = index.n_total
+
+    def run_strand(needles):
+        survivors, ovf1 = _search_infix(index, plans, infix_off, needles, B, tier, n_total)
+        states, ovf2 = _extend_to_kmers(index, survivors, needles, B, J, K, tier, errors)
+        flo, rlo, size, err, valid = states
+        contrib = jnp.where(valid, jnp.minimum(size, _U32(cap)), _U32(0))
+        hits = jnp.minimum(contrib.sum(axis=-1, dtype=_U32), _U32(cap))
+        exact_mask = valid & (err == 0)
+        exact_size = jnp.where(exact_mask, size, 0).sum(axis=-1, dtype=_U32)
+        exact_flo = jnp.where(exact_mask, flo, 0).sum(axis=-1, dtype=_U32)
+        return hits, exact_size, exact_flo, (flo, size, err, valid), ovf1 | ovf2
+
+    @jax.jit
+    def run(needles, needles_rc, cnt):
+        hits_f, exact_size, exact_flo, states_f, ovf = run_strand(needles)
+        out = {}
+        if rev_compl:
+            hits_r, _es, _ef, states_r, ovf_r = run_strand(needles_rc)
+            jj = jnp.arange(J, dtype=_I32)[None, :]
+            src = jnp.clip(cnt[:, None] - 1 - jj, 0, J - 1)
+            hits_r_mapped = jnp.take_along_axis(hits_r, src, axis=1)
+            hits = jnp.minimum(hits_f + hits_r_mapped, _U32(cap))
+            ovf = ovf | ovf_r
+            if with_states:
+                out["states_rc"] = states_r
+        else:
+            hits = hits_f
+        valid_j = jnp.arange(J, dtype=_I32)[None, :] < cnt[:, None]
+        out.update(
+            hits=jnp.where(valid_j, hits, 0),
+            exact_size=jnp.where(valid_j, exact_size, 0),
+            exact_flo=exact_flo,
+            overflow=ovf,
+        )
+        if with_states:
+            out["states"] = states_f
+        return out
+
+    return run

@@ -1,0 +1,22 @@
+"""Force JAX onto a virtual 8-device CPU mesh for all tests.
+
+The container's sitecustomize registers the remote TPU (axon) backend and
+pins JAX_PLATFORMS=axon; env overrides are not reliable, so we switch the
+platform through jax.config before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the engine jits one program per (K, e,
+# overlap, tier) configuration — caching makes test reruns fast
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,54 @@
+import numpy as np
+import pytest
+
+from genmap_tpu.alphabet import encode_seq
+from genmap_tpu.index.build import _make_ctext, build_index
+from genmap_tpu.index.fmindex import FMIndexData
+from genmap_tpu.index.suffix import suffix_array_numpy
+from genmap_tpu.io.fasta import FastaFile
+
+
+def naive_sa(t: np.ndarray) -> np.ndarray:
+    return np.array(sorted(range(len(t)), key=lambda i: t[i:].tobytes()), dtype=np.int64)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("alpha", [4, 6])
+def test_suffix_array_matches_naive(seed, alpha):
+    rng = np.random.default_rng(seed)
+    t = rng.integers(0, alpha, size=rng.integers(1, 300), dtype=np.uint8)
+    np.testing.assert_array_equal(suffix_array_numpy(t), naive_sa(t))
+
+
+def _mk_files(seqs_strs, name="genome.fa"):
+    ff = FastaFile(name=name)
+    ff.ids = [f"seq{i}" for i in range(len(seqs_strs))]
+    ff.seqs = [encode_seq(s) for s in seqs_strs]
+    return [ff]
+
+
+def test_build_index_basic():
+    data = build_index(_mk_files(["ACGTACGT", "TTTT"]), sampling=3)
+    assert data.alphabet_size == 4
+    assert data.n_total == 8 + 4 + 2
+    # C: 2 sentinels, counts over text chars: A2 C2 G2 T6 (ACGTACGT + TTTT)
+    assert list(data.C) == [2, 4, 6, 8, 14, 14]
+    np.testing.assert_array_equal(data.decode_text(), encode_seq("ACGTACGTTTTT"))
+
+
+def test_build_index_dna5_and_roundtrip(tmp_path):
+    data = build_index(_mk_files(["ACGNNACG", "TNT"]), sampling=2)
+    assert data.alphabet_size == 5
+    np.testing.assert_array_equal(data.decode_text(), encode_seq("ACGNNACGTNT"))
+    data.save(str(tmp_path / "idx"))
+    d2 = FMIndexData.load(str(tmp_path / "idx"))
+    np.testing.assert_array_equal(d2.fwd.blocks, data.fwd.blocks)
+    np.testing.assert_array_equal(d2.rev.blocks, data.rev.blocks)
+    np.testing.assert_array_equal(d2.decode_text(), data.decode_text())
+    assert d2.seq_names == ["seq0", "seq1"]
+    assert list(d2.seq_lens) == [8, 3]
+
+
+def test_ctext_layout():
+    ct = _make_ctext([encode_seq("ACG"), encode_seq("TN")])
+    assert list(ct) == [1, 2, 3, 0, 4, 5, 0]

@@ -1,0 +1,189 @@
+"""Rank/LF ops vs a naive numpy reference, plus backward-search consistency."""
+
+import numpy as np
+import pytest
+
+from genmap_tpu.alphabet import encode_seq
+from genmap_tpu.index.build import _bwt_of, _make_ctext, build_index
+from genmap_tpu.io.fasta import FastaFile
+
+
+def _mk(seqs_strs, sampling=3):
+    ff = FastaFile(name="genome.fa")
+    ff.ids = [f"seq{i}" for i in range(len(seqs_strs))]
+    ff.seqs = [encode_seq(s) for s in seqs_strs]
+    return build_index([ff], sampling=sampling)
+
+
+def _jit_extend():
+    import jax
+
+    from genmap_tpu.ops.rank import extend_all
+
+    return jax.jit(extend_all, static_argnames=("right",))
+
+
+_EXT = None
+
+
+def _ext(index, right, mlo, size, olo):
+    global _EXT
+    if _EXT is None:
+        _EXT = _jit_extend()
+    return _EXT(index, right=right, mlo=mlo, size=size, olo=olo)
+
+
+def _naive_occ(bwt, sbits, p, c):
+    return int(((bwt[:p] == c) & ~sbits[:p]).sum())
+
+
+def _naive_smaller(bwt, sbits, p, c):
+    return int((sbits[:p]).sum() + ((bwt[:p] < c) & ~sbits[:p]).sum())
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+@pytest.mark.parametrize("with_n", [False, True])
+def test_extend_all_matches_naive(seed, with_n):
+    import jax.numpy as jnp
+
+    from genmap_tpu.ops.rank import DeviceIndex, extend_all
+
+    rng = np.random.default_rng(seed)
+    alpha = "ACGTN" if with_n else "ACGT"
+    seqs = [
+        "".join(rng.choice(list(alpha), size=rng.integers(5, 200)))
+        for _ in range(3)
+    ]
+    data = _mk(seqs)
+    index = DeviceIndex.from_host(data)
+
+    # naive BWT for the fwd direction
+    ctext = _make_ctext([encode_seq(s) for s in seqs])
+    _, bwt, sbits = _bwt_of(ctext)
+    n = len(ctext)
+
+    ps = rng.integers(0, n + 1, size=64).astype(np.uint32)
+    sizes = rng.integers(0, 5, size=64).astype(np.uint32)
+    sizes = np.minimum(sizes, n - ps).astype(np.uint32)
+    olo = rng.integers(0, n, size=64).astype(np.uint32)
+
+    nmlo, nsize, nolo = _ext(index, False, jnp.asarray(ps), jnp.asarray(sizes), jnp.asarray(olo))
+    nmlo, nsize, nolo = np.asarray(nmlo), np.asarray(nsize), np.asarray(nolo)
+    A = 5 if with_n else 4
+    assert nmlo.shape == (64, A)
+    for i in range(64):
+        p, sz = int(ps[i]), int(sizes[i])
+        for c in range(A):
+            occ_lo = _naive_occ(bwt, sbits, p, c)
+            occ_hi = _naive_occ(bwt, sbits, p + sz, c)
+            assert nmlo[i, c] == int(data.C[c]) + occ_lo, (i, c)
+            assert nsize[i, c] == occ_hi - occ_lo, (i, c)
+            sm = _naive_smaller(bwt, sbits, p + sz, c) - _naive_smaller(bwt, sbits, p, c)
+            assert nolo[i, c] == int(olo[i]) + sm, (i, c)
+
+
+def _backward_search(index, data, pattern):
+    """Search a pattern via repeated left-extension; return (flo, size)."""
+    import jax.numpy as jnp
+
+    from genmap_tpu.ops.rank import extend_all
+
+    flo = np.uint32(0)
+    rlo = np.uint32(0)
+    size = np.uint32(data.n_total)
+    for ch in pattern[::-1]:
+        nmlo, nsize, nolo = _ext(
+            index, False, jnp.asarray([flo]), jnp.asarray([size]), jnp.asarray([rlo])
+        )
+        flo = np.asarray(nmlo)[0, ch]
+        size = np.asarray(nsize)[0, ch]
+        rlo = np.asarray(nolo)[0, ch]
+    return int(flo), int(size), int(rlo)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_backward_search_counts(seed):
+    from genmap_tpu.ops.rank import DeviceIndex
+
+    rng = np.random.default_rng(seed)
+    seqs = ["".join(rng.choice(list("ACGT"), size=150)) for _ in range(2)]
+    data = _mk(seqs)
+    index = DeviceIndex.from_host(data)
+
+    for _ in range(20):
+        k = int(rng.integers(1, 8))
+        s = int(rng.integers(0, 2))
+        i = int(rng.integers(0, 150 - k))
+        pat = encode_seq(seqs[s][i : i + k])
+        _, size, _ = _backward_search(index, data, list(pat))
+        expected = sum(seq.count("".join("ACGT"[c] for c in pat)) for seq in seqs)
+        # count with overlaps
+        patt = "".join("ACGT"[c] for c in pat)
+        expected = 0
+        for seq in seqs:
+            for j in range(len(seq) - k + 1):
+                expected += seq[j : j + k] == patt
+        assert size == expected, (patt, size, expected)
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_forward_search_matches_backward(seed):
+    """Right-extension over the rev index must give the same counts."""
+    import jax.numpy as jnp
+
+    from genmap_tpu.ops.rank import DeviceIndex, extend_all
+
+    rng = np.random.default_rng(seed)
+    seqs = ["".join(rng.choice(list("ACGTN"), size=100)) for _ in range(2)]
+    data = _mk(seqs)
+    index = DeviceIndex.from_host(data)
+
+    for _ in range(20):
+        k = int(rng.integers(1, 7))
+        s = int(rng.integers(0, 2))
+        i = int(rng.integers(0, 100 - k))
+        pat = list(encode_seq(seqs[s][i : i + k]))
+        flo_b, size_b, _ = _backward_search(index, data, pat)
+        # forward: extend right one char at a time
+        flo = np.uint32(0)
+        rlo = np.uint32(0)
+        size = np.uint32(data.n_total)
+        for ch in pat:
+            nmlo, nsize, nolo = _ext(
+                index, True, jnp.asarray([rlo]), jnp.asarray([size]), jnp.asarray([flo])
+            )
+            rlo = np.asarray(nmlo)[0, ch]
+            size = np.asarray(nsize)[0, ch]
+            flo = np.asarray(nolo)[0, ch]
+        assert int(size) == size_b
+        assert int(flo) == flo_b
+
+
+def test_locate_roundtrip():
+    import jax.numpy as jnp
+
+    from genmap_tpu.ops.rank import DeviceIndex, locate
+
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGT"), size=80)) for _ in range(3)]
+    data = _mk(seqs, sampling=4)
+    index = DeviceIndex.from_host(data)
+
+    # locate every unique 6-mer occurrence and verify against the text
+    for _ in range(15):
+        s = int(rng.integers(0, 3))
+        i = int(rng.integers(0, 80 - 6))
+        pat = list(encode_seq(seqs[s][i : i + 6]))
+        flo, size, _ = _backward_search(index, data, pat)
+        rows = np.arange(flo, flo + size, dtype=np.uint32)
+        i1, i2 = locate(index, jnp.asarray(rows), jnp.ones(len(rows), bool))
+        i1, i2 = np.asarray(i1), np.asarray(i2)
+        got = sorted(zip(i1.tolist(), i2.tolist()))
+        patt = "".join("ACGT"[c] for c in pat)
+        expected = sorted(
+            (sq, j)
+            for sq, seq in enumerate(seqs)
+            for j in range(len(seq) - 5)
+            if seq[j : j + 6] == patt
+        )
+        assert got == expected
