@@ -102,9 +102,19 @@ class MappabilityEngine:
         data: FMIndexData,
         batch_blocks: int = 256,
         tiers: tuple[Tier, ...] = DEFAULT_TIERS,
+        mesh=None,
     ):
         self.data = data
+        self.mesh = mesh
         self.index = DeviceIndex.from_host(data)
+        if mesh is not None:
+            from genmap_tpu.parallel.mesh import batch_sharding, replicate_index
+
+            self.index = replicate_index(self.index, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+            # batch size must split evenly over the mesh
+            n = mesh.devices.size
+            self.batch_blocks = -(-batch_blocks // n) * n
         self.text = data.decode_text()
         self.layouts = file_layouts(data)
         self.batch_blocks = batch_blocks
@@ -209,6 +219,9 @@ class MappabilityEngine:
             if len(pending) == 0:
                 break
             B = max(8, B0 * self.tiers[0].f_extend // tier.f_extend)
+            if self.mesh is not None:
+                n = self.mesh.devices.size
+                B = max(n, -(-B // n) * n)
             run = self._runner(K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed)
             still: list[np.ndarray] = []
             for s in range(0, len(pending), B):
@@ -251,7 +264,15 @@ class MappabilityEngine:
             ).astype(np.uint8)
         else:
             needles_rc = needles
-        return run(needles, needles_rc, cnts.astype(np.int32))
+        cnts = cnts.astype(np.int32)
+        if self.mesh is not None:
+            import jax
+
+            sh = self._batch_sharding
+            needles = jax.device_put(needles, sh)
+            needles_rc = jax.device_put(needles_rc, sh)
+            cnts = jax.device_put(cnts, sh)
+        return run(needles, needles_rc, cnts)
 
     # ------------------------------------------------------------------
 
