@@ -23,6 +23,11 @@ def index_main(argv: list[str]) -> int:
                    choices=["divsufsort", "skew"])  # accepted for compat; one path here
     p.add_argument("-S", "--sampling", type=int, default=10)
     p.add_argument("-v", "--verbose", action="store_true")
+    # reference width-override expert flags (indexing.hpp:319-327); our index
+    # arrays are self-describing, so these are accepted for CLI compatibility
+    p.add_argument("-xa", "--seqno", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("-xb", "--seqpos", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("-xc", "--bwtlen", type=int, default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 
     if not (1 <= args.sampling <= 64):

@@ -11,6 +11,14 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "--version":
+        from genmap_tpu import __version__
+
+        print(f"genmap-tpu {__version__} — TPU-native (k,e)-mappability\n"
+              "Capability-equivalent to GenMap (Pockrandt et al., "
+              "Bioinformatics 2020, doi:10.1093/bioinformatics/btaa222), "
+              "re-designed from scratch for TPU hardware.")
+        return 0
     if not argv or argv[0] in ("-h", "--help"):
         print(
             "genmap-tpu — TPU-native (k,e)-mappability\n"

@@ -86,6 +86,10 @@ def map_main(argv: list[str]) -> int:
     mappability_out = not (args.frequency_small or args.frequency_large)
     cap = 255 if small else 65535
 
+    from genmap_tpu.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     data = FMIndexData.load(args.index, mmap=args.memory_mapping)
     if args.verbose:
         print(f"Index was loaded (dna{data.alphabet_size} alphabet, "
@@ -133,7 +137,11 @@ def map_main(argv: list[str]) -> int:
         else:
             fasta_files[-1] = (fn, gi)
 
-    for layout in engine.layouts:
+    import time as _time
+
+    compute_start = _time.time()
+    total_files = len(engine.layouts)
+    for file_no, layout in enumerate(engine.layouts, start=1):
         intervals = None
         csv_intervals = None
         if selection is not None:
@@ -156,7 +164,8 @@ def map_main(argv: list[str]) -> int:
                 continue  # skip files without any selected interval
 
         res = engine.compute_file(
-            layout, params, errors, cap, intervals=intervals, csv=args.csv
+            layout, params, errors, cap, intervals=intervals, csv=args.csv,
+            file_no=file_no, total_files=total_files,
         )
 
         path = out_path
@@ -164,20 +173,32 @@ def map_main(argv: list[str]) -> int:
             base = layout.name[: layout.name.rfind(".")] if "." in layout.name else layout.name
             path = out_path + base + ".genmap"
 
+        def timed(label, fn, *a):
+            t0 = _time.time()
+            fn(*a)
+            if args.verbose:
+                print(f"- {label} file written in "
+                      f"{round((_time.time() - t0) * 100.0) / 100.0} seconds")
+
         if args.raw:
             ext = ".map" if mappability_out else (".freq8" if small else ".freq16")
-            save_raw(res.c, path + ext, mappability_out, small)
+            timed("RAW", save_raw, res.c, path + ext, mappability_out, small)
         if args.txt:
-            save_txt(res.c, path + ".txt", layout.chrom_names, layout.chrom_lens,
-                     mappability_out)
+            timed("TXT", save_txt, res.c, path + ".txt", layout.chrom_names,
+                  layout.chrom_lens, mappability_out)
         if args.wig:
-            save_wig(res.c, path, layout.chrom_names, layout.chrom_lens, mappability_out)
+            timed("WIG", save_wig, res.c, path, layout.chrom_names,
+                  layout.chrom_lens, mappability_out)
         if args.bedgraph:
-            save_bedgraph(res.c, path, layout.chrom_names, layout.chrom_lens, True,
-                          mappability_out)
+            timed("bedgraph", save_bedgraph, res.c, path, layout.chrom_names,
+                  layout.chrom_lens, True, mappability_out)
         if args.bed:
-            save_bedgraph(res.c, path, layout.chrom_names, layout.chrom_lens, False,
-                          mappability_out)
+            timed("BED", save_bedgraph, res.c, path, layout.chrom_names,
+                  layout.chrom_lens, False, mappability_out)
         if args.csv:
-            save_csv(path, res.locations, params.rev_compl, fasta_files, csv_intervals)
+            timed("CSV", save_csv, path, res.locations, params.rev_compl,
+                  fasta_files, csv_intervals)
+    if args.verbose:
+        print("Mappability computed in "
+              f"{round((_time.time() - compute_start) * 100.0) / 100.0} seconds")
     return 0

@@ -176,6 +176,8 @@ class MappabilityEngine:
         cap: int,
         intervals: list[tuple[int, int]] | None = None,
         csv: bool = False,
+        file_no: int = 1,
+        total_files: int = 1,
     ) -> FileResult:
         """Compute the frequency vector (and CSV locations) for one file.
 
@@ -213,6 +215,10 @@ class MappabilityEngine:
         if len(starts) == 0:
             return FileResult(c=c, locations=locations, layout=layout)
 
+        from genmap_tpu.progress import Progress
+
+        progress = Progress(len(starts), file_no, total_files)
+
         pending = np.arange(len(starts))
         B0 = self.batch_blocks
         for t_i, tier in enumerate(self.tiers):
@@ -234,12 +240,15 @@ class MappabilityEngine:
                     errors, cap, csv_needed, csv,
                 )
                 still.append(sel[ovf])
+                if t_i == 0:
+                    progress.add(len(sel))
             pending = np.concatenate(still) if still else np.empty(0, np.int64)
         if len(pending):
             raise RuntimeError(
                 f"{len(pending)} blocks overflowed the largest frontier tier"
             )
 
+        progress.finish()
         reset_limits(c, K, layout.cum_lens)
         return FileResult(c=c, locations=locations, layout=layout)
 
@@ -373,7 +382,7 @@ class MappabilityEngine:
                 continue
 
             entry = ((f1, f2), (r1, r2))
-            es = int(exact_size[b, j]) if len(d["exact"]) or True else 0
+            es = int(exact_size[b, j])
             if not directory and es > 1:
                 e1, e2 = d["exact"][0]
                 for q1, q2 in zip(e1.astype(np.int64), e2.astype(np.int64)):

@@ -170,78 +170,120 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total):
     return (c_flo, c_rlo, c_size, c_err, c_valid), ovf
 
 
-def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
+def _ext_phase(index, state, needles, pos_arr, act_arr, right, Fe, errors):
+    """One uniform-direction extension scan over a [B, M, Fe] frontier.
+
+    pos_arr: [T] or [T, M] static needle positions per step;
+    act_arr:  [T, M] static activity mask (inactive slots pass through).
+    """
+    flo, rlo, size, err, valid, ovf = state
+    if len(pos_arr) == 0:
+        return state
+    xs = (jnp.asarray(pos_arr, _I32), jnp.asarray(act_arr))
+    per_m = pos_arr.ndim == 2
+
+    def body(carry, x):
+        flo, rlo, size, err, valid, ovf = carry
+        pos, act = x  # pos: [] or [M]; act: [M]
+        if per_m:
+            nch = needles[:, pos].astype(_U32)[:, :, None]  # [B, M, 1]
+        else:
+            nch = needles[:, pos].astype(_U32)[:, None, None]  # [B, 1, 1]
+        nflo, nrlo, nsize, err2, valid2 = _candidate_step(
+            index, right, flo, rlo, size, err, valid, nch, errors, 0
+        )
+        A = nflo.shape[-1]
+        actb = act[None, :, None, None]
+        c0 = (jnp.arange(A) == 0).reshape(1, 1, 1, A)
+        # inactive slots pass their states through candidate slot 0
+        nflo = jnp.where(actb, nflo, flo[..., None])
+        nrlo = jnp.where(actb, nrlo, rlo[..., None])
+        nsize = jnp.where(actb, nsize, size[..., None])
+        err2 = jnp.where(actb, err2, err[..., None])
+        valid2 = jnp.where(actb, valid2, valid[..., None] & c0)
+        arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
+        v = _flatten2(valid2)
+        (flo, rlo, size, err), valid, of = _compact(arrays, v, Fe)
+        return (flo, rlo, size, err, valid, ovf | of.any(axis=-1)), None
+
+    state, _ = jax.lax.scan(body, state, xs)
+    return state
+
+
+def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors,
+                     group: int | None = None):
     """Extend infix survivors to every k-mer window of each block.
 
-    k-mer j of a block covers needle positions [j, j+K); the infix covers
-    [K-o, K) with o = K-J+1, so j needs the left part [j, J-1) consumed
-    right-to-left and the right part [K, j+K) consumed left-to-right
-    (the lockstep equivalent of algo.hpp:26-218's doubling extension).
+    k-mer j covers needle positions [j, j+K); the infix covers [J-1, K).
+    A two-level hierarchy shares extension work between adjacent k-mers —
+    the lockstep counterpart of the reference's doubling extension
+    (algo.hpp:26-218): first extend the infix state to the common span of
+    each GROUP of g adjacent k-mers ([chi-1, clo+K) for group [clo, chi)),
+    then from each group state to the individual windows.  This cuts
+    state-steps per block from ~2(J-1)*J to ~2(J-g)*J/g + 2(g-1)*J.
     """
     Fe = tier.f_extend
     s_flo, s_rlo, s_size, s_err, s_valid = survivors
-    Fc = s_flo.shape[-1]
+    ovf0 = jnp.zeros((B,), bool)
 
-    def bjf(a):
-        return jnp.broadcast_to(a[:, None, :], (B, J, Fc))
+    # compact survivors into Fe slots (root frontier)
+    arrays = (s_flo, s_rlo, s_size, s_err)
+    (r_flo, r_rlo, r_size, r_err), r_valid, of = _compact(arrays, s_valid, Fe)
+    ovf0 = ovf0 | of
 
-    pad = Fe - Fc
-    assert pad >= 0
+    if group is None:
+        group = max(1, int(np.sqrt(J)))
+    g = min(group, J)
+    G = -(-J // g)
+    gi = np.arange(G)
+    clo_g, chi_g = gi * g, np.minimum(gi * g + g, J)
 
-    def padded(a, dtype):
-        a = bjf(a)
-        return jnp.concatenate([a, jnp.zeros((B, J, pad), dtype)], axis=-1)
+    def broadcast_m(a, M):
+        return jnp.broadcast_to(a[:, None, :], (B, M, Fe))
 
-    flo = padded(s_flo, _U32)
-    rlo = padded(s_rlo, _U32)
-    size = padded(s_size, _U32)
-    err = padded(s_err, _I32)
-    valid = padded(s_valid, bool)
-    ovf = jnp.zeros((B,), bool)
-
-    if J > 1:
-        T = J - 1
-        jj = np.arange(J)
-        phases = (
-            (True, K + np.arange(T), np.arange(T)[:, None] < jj[None, :]),
-            (False, (J - 2) - np.arange(T), np.arange(T)[:, None] < (J - 1 - jj)[None, :]),
+    if G > 1:
+        state = (
+            broadcast_m(r_flo, G), broadcast_m(r_rlo, G), broadcast_m(r_size, G),
+            broadcast_m(r_err, G), broadcast_m(r_valid, G), ovf0,
         )
-        for right, pos_arr, act_arr in phases:
-            xs = (jnp.asarray(pos_arr, _I32), jnp.asarray(act_arr))
+        # right: consume needle positions K .. clo+K-1
+        T = int(clo_g.max())
+        pos = K + np.arange(T)
+        act = np.arange(T)[:, None] < clo_g[None, :]
+        state = _ext_phase(index, state, needles, pos, act, True, Fe, errors)
+        # left: consume positions J-2 down to chi-1
+        T = int((J - chi_g).max())
+        pos = (J - 2) - np.arange(T)
+        act = np.arange(T)[:, None] < (J - chi_g)[None, :]
+        state = _ext_phase(index, state, needles, pos, act, False, Fe, errors)
+        flo, rlo, size, err, valid, ovf = state
+        jmap = jnp.asarray(np.arange(J) // g, dtype=_I32)
+        state = tuple(jnp.take(a, jmap, axis=1) for a in (flo, rlo, size, err, valid))
+        state = state + (ovf,)
+    else:
+        state = (
+            broadcast_m(r_flo, J), broadcast_m(r_rlo, J), broadcast_m(r_size, J),
+            broadcast_m(r_err, J), broadcast_m(r_valid, J), ovf0,
+        )
 
-            def body(carry, x, right=right):
-                flo, rlo, size, err, valid, ovf = carry
-                pos, act = x  # act: [J]
-                nch = needles[:, pos].astype(_U32)  # [B]
-                nflo, nrlo, nsize, err2, valid2 = _candidate_step(
-                    index,
-                    right,
-                    flo,
-                    rlo,
-                    size,
-                    err,
-                    valid,
-                    nch[:, None, None],
-                    errors,
-                    0,
-                )
-                A = nflo.shape[-1]
-                actb = act[None, :, None, None]
-                c0 = (jnp.arange(A) == 0).reshape(1, 1, 1, A)
-                # inactive k-mers pass their states through candidate slot 0
-                nflo = jnp.where(actb, nflo, flo[..., None])
-                nrlo = jnp.where(actb, nrlo, rlo[..., None])
-                nsize = jnp.where(actb, nsize, size[..., None])
-                err2 = jnp.where(actb, err2, err[..., None])
-                valid2 = jnp.where(actb, valid2, valid[..., None] & c0)
-                arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
-                v = _flatten2(valid2)
-                (flo, rlo, size, err), valid, of = _compact(arrays, v, Fe)
-                return (flo, rlo, size, err, valid, ovf | of.any(axis=-1)), None
+    jj = np.arange(J)
+    clo_j, chi_j = (jj // g) * g, np.minimum((jj // g) * g + g, J)
+    # right: kmer j consumes clo_j+K .. j+K-1
+    T = int((jj - clo_j).max()) if J > 1 else 0
+    if T > 0:
+        pos = clo_j[None, :] + K + np.arange(T)[:, None]  # [T, J]
+        act = np.arange(T)[:, None] < (jj - clo_j)[None, :]
+        pos = np.where(act, pos, 0)
+        state = _ext_phase(index, state, needles, pos, act, True, Fe, errors)
+    # left: kmer j consumes chi_j-2 down to j
+    T = int((chi_j - 1 - jj).max()) if J > 1 else 0
+    if T > 0:
+        pos = chi_j[None, :] - 2 - np.arange(T)[:, None]
+        act = np.arange(T)[:, None] < (chi_j - 1 - jj)[None, :]
+        pos = np.where(act, pos, 0)
+        state = _ext_phase(index, state, needles, pos, act, False, Fe, errors)
 
-            (flo, rlo, size, err, valid, ovf), _ = jax.lax.scan(
-                body, (flo, rlo, size, err, valid, ovf), xs
-            )
+    flo, rlo, size, err, valid, ovf = state
     return (flo, rlo, size, err, valid), ovf
 
 
