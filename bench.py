@@ -30,14 +30,18 @@ CPU_BASELINE_KMERS_PER_SEC = 2.0e7
 def main() -> None:
     import jax
 
+    from genmap_tpu.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from genmap_tpu.cli.map_cmd import default_overlap
     from genmap_tpu.engine.mappability import MappabilityEngine, SearchParams
     from genmap_tpu.index.build import build_index
     from genmap_tpu.io.fasta import FastaFile
 
-    genome_mb = 16
+    genome_mb = 8
     K, errors = 100, 2
-    B = 256
+    B = 1024
 
     rng = np.random.default_rng(0)
     n = genome_mb * 1_000_000

@@ -19,7 +19,6 @@ from dataclasses import dataclass, field
 import jax
 import numpy as np
 
-from genmap_tpu.alphabet import comp_codes
 from genmap_tpu.index.fmindex import FMIndexData
 from genmap_tpu.ops.rank import DeviceIndex, locate
 from genmap_tpu.search.engine import DEFAULT_TIERS, Tier, make_block_mapper
@@ -259,29 +258,17 @@ class MappabilityEngine:
         Ln = K + J - 1
         pad_b = B - nb
         starts = np.concatenate([bstarts, np.zeros(pad_b, np.int64)])
-        cnts = np.concatenate([bcnts, np.zeros(pad_b, np.int32)])
+        cnts = np.concatenate([bcnts, np.zeros(pad_b, np.int32)]).astype(np.int32)
         idx = starts[:, None] + np.arange(Ln)[None, :]
         ok = idx < len(text)
         needles = np.where(ok, text[np.minimum(idx, len(text) - 1)], 0).astype(np.uint8)
-        if params.rev_compl:
-            comp = comp_codes(needles)
-            vlen = (K + cnts - 1)[:, None]
-            rc_idx = vlen - 1 - np.arange(Ln)[None, :]
-            take = np.clip(rc_idx, 0, Ln - 1)
-            needles_rc = np.where(
-                rc_idx >= 0, np.take_along_axis(comp, take, axis=1), 0
-            ).astype(np.uint8)
-        else:
-            needles_rc = needles
-        cnts = cnts.astype(np.int32)
         if self.mesh is not None:
             import jax
 
             sh = self._batch_sharding
             needles = jax.device_put(needles, sh)
-            needles_rc = jax.device_put(needles_rc, sh)
             cnts = jax.device_put(cnts, sh)
-        return run(needles, needles_rc, cnts)
+        return run(needles, cnts)
 
     # ------------------------------------------------------------------
 
@@ -301,20 +288,35 @@ class MappabilityEngine:
         if not csv_needed:
             return
 
-        exact_size = np.asarray(out["exact_size"])
+        exact_size = np.asarray(out["exact_size"])  # forward-strand count
+        exact_size_total = np.asarray(out["exact_size_total"])
         exact_flo = np.asarray(out["exact_flo"])
         states = tuple(np.asarray(a) for a in out["states"])
-        states_rc = (
-            tuple(np.asarray(a) for a in out["states_rc"]) if params.rev_compl else None
-        )
         self._csv_batch(
-            c, locations, bstarts, bcnts, ok, states, states_rc, exact_size,
-            exact_flo, layout, params, K, errors, cap, csv_out,
+            c, locations, bstarts, bcnts, ok, states, exact_size,
+            exact_size_total, exact_flo, layout, params, K, errors, cap, csv_out,
         )
 
+    def _split_strand(self, i1, i2, K):
+        """Split located rows into per-strand lists with rc mapped back.
+
+        A row in the rc half (i1 >= nseq) at position p in rc(seq s) is an
+        occurrence of rc(pattern) in seq s at len_s - K - p.
+        """
+        nseq = self.data.nseq
+        is_rc = i1 >= nseq
+        p1, p2 = i1[~is_rc].astype(np.int64), i2[~is_rc].astype(np.int64)
+        m1 = (i1[is_rc] - nseq).astype(np.int64)
+        m2 = (
+            self.data.seq_lens[m1].astype(np.int64) - K - i2[is_rc].astype(np.int64)
+        )
+        o = np.lexsort((p2, p1))
+        om = np.lexsort((m2, m1))
+        return (p1[o], p2[o]), (m1[om], m2[om])
+
     def _csv_batch(
-        self, c, locations, bstarts, bcnts, ok, states, states_rc, exact_size,
-        exact_flo, layout, params, K, errors, cap, csv_out,
+        self, c, locations, bstarts, bcnts, ok, states, exact_size,
+        exact_size_total, exact_flo, layout, params, K, errors, cap, csv_out,
     ):
         """CSV location lists + exclude-pseudo (algo.hpp:311-400)."""
         flo, size, err, valid = states
@@ -334,20 +336,12 @@ class MappabilityEngine:
                 for f in np.nonzero(valid[b, j])[0]:
                     n = int(size[b, j, f])
                     if n:
-                        jobs.append(("fwd", b, j, sum(map(len, rows)), n))
+                        jobs.append(("all", b, j, sum(map(len, rows)), n))
                         push(int(flo[b, j, f]), n)
-                if states_rc is not None:
-                    flo_r, size_r, err_r, valid_r = states_rc
-                    jr = cnt - 1 - j
-                    for f in np.nonzero(valid_r[b, jr])[0]:
-                        n = int(size_r[b, jr, f])
-                        if n:
-                            jobs.append(("rc", b, j, sum(map(len, rows)), n))
-                            push(int(flo_r[b, jr, f]), n)
-                es = int(exact_size[b, j])
-                if es > 1:
-                    jobs.append(("exact", b, j, sum(map(len, rows)), es))
-                    push(int(exact_flo[b, j]), es)
+                if int(exact_size[b, j]) > 1:
+                    et = int(exact_size_total[b, j])
+                    jobs.append(("exact", b, j, sum(map(len, rows)), et))
+                    push(int(exact_flo[b, j]), et)
 
         if not jobs:
             return
@@ -356,23 +350,19 @@ class MappabilityEngine:
 
         per_kmer: dict[tuple[int, int], dict] = {}
         for kind, b, j, off, n in jobs:
-            d = per_kmer.setdefault((b, j), {"fwd": [], "rc": [], "exact": []})
+            d = per_kmer.setdefault((b, j), {"all": [], "exact": []})
             d[kind].append((i1[off : off + n], i2[off : off + n]))
 
         directory = self.data.directory
+        nseq = self.data.nseq
         for (b, j), d in per_kmer.items():
             p = int(bstarts[b]) + j
 
-            def merged(lsts):
-                if not lsts:
-                    return np.empty(0, np.int64), np.empty(0, np.int64)
-                a1 = np.concatenate([x[0] for x in lsts]).astype(np.int64)
-                a2 = np.concatenate([x[1] for x in lsts]).astype(np.int64)
-                order = np.lexsort((a2, a1))
-                return a1[order], a2[order]
-
-            f1, f2 = merged(d["fwd"])
-            r1, r2 = merged(d["rc"])
+            a1 = np.concatenate([x[0] for x in d["all"]]) if d["all"] else np.empty(0, np.int64)
+            a2 = np.concatenate([x[1] for x in d["all"]]) if d["all"] else np.empty(0, np.int64)
+            (f1, f2), (r1, r2) = self._split_strand(a1, a2, K)
+            if not params.rev_compl:
+                r1, r2 = np.empty(0, np.int64), np.empty(0, np.int64)
 
             if params.exclude_pseudo:
                 files = set(self.seq_file_id[f1]) | set(self.seq_file_id[r1])
@@ -382,10 +372,12 @@ class MappabilityEngine:
                 continue
 
             entry = ((f1, f2), (r1, r2))
-            es = int(exact_size[b, j])
-            if not directory and es > 1:
+            if not directory and int(exact_size[b, j]) > 1:
                 e1, e2 = d["exact"][0]
-                for q1, q2 in zip(e1.astype(np.int64), e2.astype(np.int64)):
+                fwd_exact = e1 < nseq  # key placement uses fwd occurrences only
+                for q1, q2 in zip(
+                    e1[fwd_exact].astype(np.int64), e2[fwd_exact].astype(np.int64)
+                ):
                     if q2 <= int(self.data.seq_lens[q1]) - K:
                         locations[(int(q1), int(q2))] = entry
             elif len(f1) + len(r1) > 0:

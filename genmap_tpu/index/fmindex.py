@@ -168,10 +168,13 @@ class FMIndexData:
     directory: bool  # was the index built from a fasta directory?
     fwd: RankRows
     rev: RankRows
-    C: np.ndarray  # [6] uint64: C[c] = nseq + #chars < c ; C[5] = n_total
+    C: np.ndarray  # [6] uint64: C[c] = nseq_all + #chars < c ; C[5] = n_total
     sa_i1: np.ndarray  # sampled SA values, sequence number (uint32)
     sa_i2: np.ndarray  # sampled SA values, sequence position (uint32)
-    # directory information: per sequence (in index order)
+    # rank rows of the strand bitvector over SA rows (rc-half suffixes):
+    # [nblocks, 5] uint32 = absolute count + 4 bitvector words per 128 rows
+    strand_blocks: np.ndarray
+    # directory information: per INPUT sequence (the rc half is implicit)
     seq_files: list[str]  # source fasta file name per sequence
     seq_names: list[str]
     seq_lens: np.ndarray  # uint64
@@ -214,7 +217,7 @@ class FMIndexData:
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         meta = {
-            "format_version": 1,
+            "format_version": 2,  # v2: both-strand text, strand rank rows
             "alphabet_size": self.alphabet_size,
             "sampling_rate": self.sampling,
             "fasta_directory": self.directory,
@@ -234,6 +237,7 @@ class FMIndexData:
         np.save(os.path.join(path, "C.npy"), self.C)
         np.save(os.path.join(path, "sa_i1.npy"), self.sa_i1)
         np.save(os.path.join(path, "sa_i2.npy"), self.sa_i2)
+        np.save(os.path.join(path, "strand_blocks.npy"), self.strand_blocks)
         np.save(os.path.join(path, "text_words.npy"), self.text_words)
         np.save(os.path.join(path, "text_nwords.npy"), self.text_nwords)
 
@@ -241,6 +245,11 @@ class FMIndexData:
     def load(path: str, mmap: bool = False) -> "FMIndexData":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        if meta.get("format_version") != 2:
+            raise ValueError(
+                f"unsupported index format_version {meta.get('format_version')};"
+                " rebuild the index with this version of genmap-tpu"
+            )
         mm = "r" if mmap else None
         seq_files, seq_names, seq_lens = [], [], []
         with open(os.path.join(path, "index.ids")) as f:
@@ -275,6 +284,7 @@ class FMIndexData:
             C=np.load(os.path.join(path, "C.npy")),
             sa_i1=np.load(os.path.join(path, "sa_i1.npy"), mmap_mode=mm),
             sa_i2=np.load(os.path.join(path, "sa_i2.npy"), mmap_mode=mm),
+            strand_blocks=np.load(os.path.join(path, "strand_blocks.npy"), mmap_mode=mm),
             seq_files=seq_files,
             seq_names=seq_names,
             seq_lens=np.asarray(seq_lens, dtype=np.uint64),

@@ -46,6 +46,7 @@ class DeviceIndex:
     C: jax.Array  # [6] uint32
     sa_i1: jax.Array  # sampled SA values
     sa_i2: jax.Array
+    strand_blocks: jax.Array  # [nb, 5] uint32: rc-strand rank rows over SA rows
     has_n: bool = field(metadata={"static": True})
     sampling: int = field(metadata={"static": True})
     n_total: int = field(metadata={"static": True})
@@ -62,6 +63,7 @@ class DeviceIndex:
             C=jnp.asarray(data.C.astype(np.uint32)),
             sa_i1=jnp.asarray(data.sa_i1),
             sa_i2=jnp.asarray(data.sa_i2),
+            strand_blocks=jnp.asarray(data.strand_blocks),
             has_n=data.has_n,
             sampling=data.sampling,
             n_total=data.n_total,
@@ -167,6 +169,17 @@ def extend_all(
     new_size = occ_hi - occ_lo
     new_olo = olo[..., None] + (sm_hi - sm_lo)
     return new_mlo, new_size, new_olo
+
+
+def rc_strand_count(index: DeviceIndex, p: jax.Array) -> jax.Array:
+    """#SA rows in [0, p) whose suffix starts in the reverse-complement half.
+
+    Used to split an interval's occurrence count by strand: forward-strand
+    occurrences of [lo, lo+size) = size - (rc(lo+size) - rc(lo)).
+    """
+    rows = jnp.take(index.strand_blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
+    bmask = _bit_masks((p & _U32(127)).astype(jnp.int32))
+    return rows[..., 0] + _popcount_sum(rows[..., 1:5] & bmask)
 
 
 def bwt_char(rows: jax.Array, p: jax.Array, has_n: bool) -> tuple[jax.Array, jax.Array]:

@@ -48,11 +48,12 @@ class Tier:
 
 
 DEFAULT_TIERS = (
-    Tier(8, 16, 16),
-    Tier(64, 128, 128),
-    Tier(512, 1024, 1024),
-    Tier(4096, 8192, 8192),
-    Tier(16384, 32768, 32768),
+    Tier(4, 4, 2),
+    Tier(16, 16, 8),
+    Tier(64, 128, 64),
+    Tier(512, 1024, 512),
+    Tier(4096, 8192, 4096),
+    Tier(16384, 32768, 16384),
 )
 
 
@@ -302,13 +303,16 @@ def make_block_mapper(
 ):
     """Build the jitted batch mapper for one configuration.
 
-    Input per batch: needles [B, K+J-1] uint8 (fwd), needles_rc (rc of the
-    valid needle prefix, only used when rev_compl), cnt [B] int32 = number of
-    valid k-mers per block.
+    Input per batch: needles [B, K+J-1] uint8, cnt [B] int32 = number of
+    valid k-mers per block.  The index holds both strands, so a single pass
+    yields the combined fwd+rc frequency (reference: two passes,
+    algo.hpp:284-308); rev_compl=False subtracts rc-strand occurrences via
+    the strand rank rows.
 
-    Output: dict with hits [B, J] uint32 (clamped to cap), exact_size /
-    exact_flo [B, J] uint32 (the zero-error match interval, for the same-kmer
-    duplication logic, algo.hpp:389-396), overflow [B] bool, and, when
+    Output: dict with hits [B, J] uint32 (clamped to cap), exact_size
+    (forward-strand zero-error occurrence count, for the same-kmer
+    duplication logic, algo.hpp:389-396), exact_size_total / exact_flo (the
+    zero-error interval over both strands), overflow [B] bool, and, when
     with_states, the final extension state tensors for CSV location listing.
     """
     o = overlap
@@ -317,41 +321,45 @@ def make_block_mapper(
     infix_off = K - o
     n_total = index.n_total
 
-    def run_strand(needles):
+    @jax.jit
+    def run(needles, cnt):
+        from genmap_tpu.ops.rank import rc_strand_count
+
         survivors, ovf1 = _search_infix(index, plans, infix_off, needles, B, tier, n_total)
         states, ovf2 = _extend_to_kmers(index, survivors, needles, B, J, K, tier, errors)
         flo, rlo, size, err, valid = states
-        contrib = jnp.where(valid, jnp.minimum(size, _U32(cap)), _U32(0))
-        hits = jnp.minimum(contrib.sum(axis=-1, dtype=_U32), _U32(cap))
-        exact_mask = valid & (err == 0)
-        exact_size = jnp.where(exact_mask, size, 0).sum(axis=-1, dtype=_U32)
-        exact_flo = jnp.where(exact_mask, flo, 0).sum(axis=-1, dtype=_U32)
-        return hits, exact_size, exact_flo, (flo, size, err, valid), ovf1 | ovf2
+        ovf = ovf1 | ovf2
 
-    @jax.jit
-    def run(needles, needles_rc, cnt):
-        hits_f, exact_size, exact_flo, states_f, ovf = run_strand(needles)
-        out = {}
-        if rev_compl:
-            hits_r, _es, _ef, states_r, ovf_r = run_strand(needles_rc)
-            jj = jnp.arange(J, dtype=_I32)[None, :]
-            src = jnp.clip(cnt[:, None] - 1 - jj, 0, J - 1)
-            hits_r_mapped = jnp.take_along_axis(hits_r, src, axis=1)
-            hits = jnp.minimum(hits_f + hits_r_mapped, _U32(cap))
-            ovf = ovf | ovf_r
-            if with_states:
-                out["states_rc"] = states_r
-        else:
-            hits = hits_f
+        # the index covers both strands; size counts fwd + rc occurrences.
+        # forward-only sizes (for -nc and for exact-duplicate detection) come
+        # from the strand rank rows.
+        need_fwd = (not rev_compl) or with_states
+        if need_fwd:
+            rc_in = rc_strand_count(index, flo + size) - rc_strand_count(index, flo)
+            fwd_size = size - rc_in
+        counting = size if rev_compl else fwd_size
+        contrib = jnp.where(valid, jnp.minimum(counting, _U32(cap)), _U32(0))
+        hits = jnp.minimum(contrib.sum(axis=-1, dtype=_U32), _U32(cap))
+
+        exact_mask = valid & (err == 0)
+        exact_total = jnp.where(exact_mask, size, 0).sum(axis=-1, dtype=_U32)
+        exact_flo = jnp.where(exact_mask, flo, 0).sum(axis=-1, dtype=_U32)
+        exact_fwd = (
+            jnp.where(exact_mask, fwd_size, 0).sum(axis=-1, dtype=_U32)
+            if need_fwd
+            else exact_total
+        )
+
         valid_j = jnp.arange(J, dtype=_I32)[None, :] < cnt[:, None]
-        out.update(
+        out = dict(
             hits=jnp.where(valid_j, hits, 0),
-            exact_size=jnp.where(valid_j, exact_size, 0),
+            exact_size=jnp.where(valid_j, exact_fwd, 0),
+            exact_size_total=jnp.where(valid_j, exact_total, 0),
             exact_flo=exact_flo,
             overflow=ovf,
         )
         if with_states:
-            out["states"] = states_f
+            out["states"] = (flo, size, err, valid)
         return out
 
     return run

@@ -30,9 +30,11 @@ def _mk_files(seqs_strs, name="genome.fa"):
 def test_build_index_basic():
     data = build_index(_mk_files(["ACGTACGT", "TTTT"]), sampling=3)
     assert data.alphabet_size == 4
-    assert data.n_total == 8 + 4 + 2
-    # C: 2 sentinels, counts over text chars: A2 C2 G2 T6 (ACGTACGT + TTTT)
-    assert list(data.C) == [2, 4, 6, 8, 14, 14]
+    # both strands are indexed: 4 sequences, 24 bases, 4 sentinels
+    assert data.n_total == 2 * (8 + 4) + 4
+    # C: 4 sentinels; counts over both strands (rc adds ACGTACGT + AAAA):
+    # A 2+2+4=8, C 2+2=4, G 2+2=4, T 6+2=8
+    assert list(data.C) == [4, 12, 16, 20, 28, 28]
     np.testing.assert_array_equal(data.decode_text(), encode_seq("ACGTACGTTTTT"))
 
 

@@ -57,8 +57,10 @@ def test_extend_all_matches_naive(seed, with_n):
     data = _mk(seqs)
     index = DeviceIndex.from_host(data)
 
-    # naive BWT for the fwd direction
-    ctext = _make_ctext([encode_seq(s) for s in seqs])
+    # naive BWT for the fwd direction (the index covers both strands)
+    from genmap_tpu.alphabet import revcomp_codes
+    codes = [encode_seq(s) for s in seqs]
+    ctext = _make_ctext(codes + [revcomp_codes(s) for s in codes])
     _, bwt, sbits = _bwt_of(ctext)
     n = len(ctext)
 
@@ -116,13 +118,15 @@ def test_backward_search_counts(seed):
         i = int(rng.integers(0, 150 - k))
         pat = encode_seq(seqs[s][i : i + k])
         _, size, _ = _backward_search(index, data, list(pat))
-        expected = sum(seq.count("".join("ACGT"[c] for c in pat)) for seq in seqs)
-        # count with overlaps
         patt = "".join("ACGT"[c] for c in pat)
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rc = "".join(comp[ch] for ch in reversed(patt))
         expected = 0
         for seq in seqs:
-            for j in range(len(seq) - k + 1):
-                expected += seq[j : j + k] == patt
+            for hay in (seq,):
+                for j in range(len(hay) - k + 1):
+                    expected += hay[j : j + k] == patt
+                    expected += hay[j : j + k] == rc
         assert size == expected, (patt, size, expected)
 
 
@@ -180,9 +184,11 @@ def test_locate_roundtrip():
         i1, i2 = np.asarray(i1), np.asarray(i2)
         got = sorted(zip(i1.tolist(), i2.tolist()))
         patt = "".join("ACGT"[c] for c in pat)
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rcseqs = ["".join(comp[ch] for ch in reversed(seq)) for seq in seqs]
         expected = sorted(
             (sq, j)
-            for sq, seq in enumerate(seqs)
+            for sq, seq in enumerate(seqs + rcseqs)
             for j in range(len(seq) - 5)
             if seq[j : j + 6] == patt
         )
