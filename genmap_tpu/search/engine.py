@@ -48,11 +48,11 @@ class Tier:
 
 
 DEFAULT_TIERS = (
-    Tier(4, 4, 2),
-    Tier(16, 16, 8),
-    Tier(64, 128, 64),
-    Tier(512, 1024, 512),
-    Tier(4096, 8192, 4096),
+    Tier(4, 4, 1),
+    Tier(8, 8, 4),
+    Tier(32, 64, 32),
+    Tier(256, 512, 256),
+    Tier(2048, 4096, 2048),
     Tier(16384, 32768, 16384),
 )
 
