@@ -40,21 +40,52 @@ def save_raw(c: np.ndarray, path: str, mappability: bool, small: bool) -> None:
         c.astype("<u1" if small else "<u2").tofile(path)
 
 
+def _value_strings_lut(max_value: int, mappability: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Byte LUT of formatted values: frequency values are bounded by the cap,
+    so every possible printed token (value + trailing space) is precomputed
+    and whole chromosomes are rendered with numpy indexing instead of a
+    per-position Python loop."""
+    toks = [
+        (fmt_float(v) if mappability else str(v)) + " " for v in range(max_value + 1)
+    ]
+    width = max(len(t) for t in toks)
+    lut = np.zeros((max_value + 1, width), dtype=np.uint8)
+    lens = np.zeros(max_value + 1, dtype=np.int32)
+    for v, t in enumerate(toks):
+        b = t.encode()
+        lut[v, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[v] = len(b)
+    return lut, lens
+
+
+def _render_values(vals: np.ndarray, lut: np.ndarray, lens: np.ndarray) -> bytes:
+    """Space-separated rendering of vals (no trailing space)."""
+    if len(vals) == 0:
+        return b""
+    chars = lut[vals]  # [n, width]
+    width = chars.shape[1]
+    vlens = lens[vals].astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(vlens[:-1])))
+    out = np.empty(int(vlens.sum()), dtype=np.uint8)
+    for k in range(width):  # one vectorized scatter per token column
+        m = vlens > k
+        out[offsets[m] + k] = chars[m, k]
+    return out.tobytes()[:-1]  # drop final trailing space
+
+
 def save_txt(
     c: np.ndarray, path: str, chrom_names, chrom_lens, mappability: bool
 ) -> None:
-    with open(path, "w") as out:
+    lut, lens = _value_strings_lut(int(c.max(initial=0)), mappability)
+    with open(path, "wb") as out:
         pos = 0
         for name, ln in zip(chrom_names, chrom_lens):
             ln = int(ln)
             vals = c[pos : pos + ln]
             pos += ln
-            out.write(f">{name}\n")
-            if mappability:
-                out.write(" ".join(fmt_float(int(v)) for v in vals))
-            else:
-                out.write(" ".join(str(int(v)) for v in vals))
-            out.write("\n")
+            out.write(f">{name}\n".encode())
+            out.write(_render_values(np.asarray(vals), lut, lens))
+            out.write(b"\n")
 
 
 def save_wig(
