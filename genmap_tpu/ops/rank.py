@@ -158,12 +158,11 @@ def extend_all(
     Returns (new_mlo, new_size, new_olo), each [..., A].
     """
     blocks = index.rev_blocks if right else index.fwd_blocks
-    p_lo = mlo
-    p_hi = mlo + size
-    rows_lo = jnp.take(blocks, (p_lo >> _U32(7)).astype(jnp.int32), axis=0)
-    rows_hi = jnp.take(blocks, (p_hi >> _U32(7)).astype(jnp.int32), axis=0)
-    occ_lo, sm_lo = _occ_smaller(rows_lo, p_lo, index.has_n)
-    occ_hi, sm_hi = _occ_smaller(rows_hi, p_hi, index.has_n)
+    p = jnp.stack([mlo, mlo + size])  # one fused gather for both bounds
+    rows = jnp.take(blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
+    occ, sm = _occ_smaller(rows, p, index.has_n)
+    occ_lo, sm_lo = occ[0], sm[0]
+    occ_hi, sm_hi = occ[1], sm[1]
     A = occ_lo.shape[-1]
     new_mlo = index.C[:A] + occ_lo
     new_size = occ_hi - occ_lo

@@ -67,6 +67,15 @@ def _compact(arrays, valid, F):
     M = valid.shape[-1]
     lead = valid.shape[:-1]
     nvalid = valid.sum(axis=-1, dtype=_I32)
+    if F == 1:
+        # fast path: select the first valid candidate (argmax of bool)
+        first = jnp.argmax(valid, axis=-1)[..., None]
+        found = valid.any(axis=-1, keepdims=True)
+        out = tuple(
+            jnp.where(found, jnp.take_along_axis(a, first, axis=-1), 0)
+            for a in arrays
+        )
+        return out, found, nvalid > 1
     idx = jnp.cumsum(valid, axis=-1, dtype=_I32) - 1
     dest = jnp.where(valid & (idx < F), idx, F)
     R = int(np.prod(lead)) if lead else 1
