@@ -9,7 +9,7 @@ TPU-native re-design of the reference's per-block recursion
     capacity frontier tensor [B, F]; every step extends ALL states by ALL
     candidate characters at once (one rank-row gather pair per state, the
     candidate fan-out is free), prunes by the scheme's (l, u) bounds and empty
-    intervals, and compacts the frontier with top_k
+    intervals, and compacts the frontier (prefix-sum scatter / argmax select)
   * surviving infix matches are then extended bidirectionally to every k-mer
     window of the block (the adjacent-k-mer reuse trick of algo.hpp:26-218),
     again as a lockstep frontier over [B, J kmers, F states]
@@ -24,7 +24,6 @@ addition of interval sizes is order-independent.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
