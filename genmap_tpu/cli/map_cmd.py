@@ -54,6 +54,7 @@ def map_main(argv: list[str]) -> int:
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("-xo", "--overlap", type=int, default=None)
     p.add_argument("--batch-blocks", type=int, default=1024)
+    p.add_argument("--batch-kmers", type=int, default=50000)
     args = p.parse_args(argv)
 
     if not (args.wig or args.bedgraph or args.bed or args.raw or args.txt or args.csv):
@@ -119,7 +120,9 @@ def map_main(argv: list[str]) -> int:
               "       Please create it, or choose a different location.", file=sys.stderr)
         return 1
 
-    engine = MappabilityEngine(data, batch_blocks=args.batch_blocks)
+    engine = MappabilityEngine(
+        data, batch_blocks=args.batch_blocks, batch_kmers=args.batch_kmers
+    )
     params = SearchParams(
         length=K,
         overlap=overlap,

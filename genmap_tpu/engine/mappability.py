@@ -102,8 +102,10 @@ class MappabilityEngine:
         batch_blocks: int = 256,
         tiers: tuple[Tier, ...] = DEFAULT_TIERS,
         mesh=None,
+        batch_kmers: int = 0,
     ):
         self.data = data
+        self.batch_kmers = batch_kmers
         self.mesh = mesh
         self.index = DeviceIndex.from_host(data)
         if mesh is not None:
@@ -219,7 +221,13 @@ class MappabilityEngine:
         progress = Progress(len(starts), file_no, total_files)
 
         pending = np.arange(len(starts))
-        B0 = self.batch_blocks
+        # size batches by k-mer count, not block count, so small stepSizes
+        # still fill the device (and fewer host<->device round trips)
+        B0 = max(self.batch_blocks, -(-self.batch_kmers // J))
+        # dispatch ahead of result consumption: overlaps device/RPC latency
+        # with host work (the reference's analog is OpenMP dynamic scheduling,
+        # algo.hpp:434-439)
+        window = 8 if csv_needed else 64
         for t_i, tier in enumerate(self.tiers):
             if len(pending) == 0:
                 break
@@ -229,18 +237,29 @@ class MappabilityEngine:
                 B = max(n, -(-B // n) * n)
             run = self._runner(K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed)
             still: list[np.ndarray] = []
+            inflight: list[tuple[np.ndarray, dict]] = []
+
+            def drain(one):
+                while inflight and (len(inflight) >= window or one):
+                    sel, out = inflight.pop(0)
+                    ovf = np.asarray(out["overflow"])[: len(sel)]
+                    self._scatter_batch(
+                        c, locations, out, starts[sel], cnts[sel], ~ovf, layout,
+                        params, K, J, errors, cap, csv_needed, csv,
+                    )
+                    still.append(sel[ovf])
+                    if t_i == 0:
+                        progress.add(len(sel))
+                    if one:
+                        break
+
             for s in range(0, len(pending), B):
                 sel = pending[s : s + B]
                 out = self._run_batch(run, text, starts[sel], cnts[sel], B, K, J, params)
-                ovf = np.asarray(out["overflow"])[: len(sel)]
-                ok = ~ovf
-                self._scatter_batch(
-                    c, locations, out, starts[sel], cnts[sel], ok, layout, params, K, J,
-                    errors, cap, csv_needed, csv,
-                )
-                still.append(sel[ovf])
-                if t_i == 0:
-                    progress.add(len(sel))
+                inflight.append((sel, out))
+                drain(False)
+            while inflight:
+                drain(True)
             pending = np.concatenate(still) if still else np.empty(0, np.int64)
         if len(pending):
             raise RuntimeError(
