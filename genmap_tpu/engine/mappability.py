@@ -148,6 +148,7 @@ class MappabilityEngine:
                 cap=cap,
                 rev_compl=rev_compl,
                 with_states=with_states,
+                mesh=self.mesh,
             )
         return self._runners[key]
 

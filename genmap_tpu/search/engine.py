@@ -308,6 +308,7 @@ def make_block_mapper(
     cap: int,
     rev_compl: bool,
     with_states: bool = False,
+    mesh=None,
 ):
     """Build the jitted batch mapper for one configuration.
 
@@ -329,12 +330,12 @@ def make_block_mapper(
     infix_off = K - o
     n_total = index.n_total
 
-    @jax.jit
-    def run(needles, cnt):
+    def run_impl(index, needles, cnt):
         from genmap_tpu.ops.rank import rc_strand_count
 
-        survivors, ovf1 = _search_infix(index, plans, infix_off, needles, B, tier, n_total)
-        states, ovf2 = _extend_to_kmers(index, survivors, needles, B, J, K, tier, errors)
+        Bl = needles.shape[0]  # local batch (per shard under shard_map)
+        survivors, ovf1 = _search_infix(index, plans, infix_off, needles, Bl, tier, n_total)
+        states, ovf2 = _extend_to_kmers(index, survivors, needles, Bl, J, K, tier, errors)
         flo, rlo, size, err, valid = states
         ovf = ovf1 | ovf2
 
@@ -369,5 +370,30 @@ def make_block_mapper(
         if with_states:
             out["states"] = (flo, size, err, valid)
         return out
+
+    if mesh is None:
+        run_jit = jax.jit(run_impl)
+
+        def run(needles, cnt):
+            return run_jit(index, needles, cnt)
+
+        return run
+
+    # sharded execution: per-shard local programs via shard_map (the SPMD
+    # partitioner otherwise inserts all-gathers around the compaction
+    # scatters); the index is replicated, blocks are split along 'data'
+    from jax.sharding import PartitionSpec as P
+
+    smapped = jax.shard_map(
+        run_impl,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,  # scan carries start as replicated zeros
+    )
+    run_jit = jax.jit(smapped)
+
+    def run(needles, cnt):
+        return run_jit(index, needles, cnt)
 
     return run
