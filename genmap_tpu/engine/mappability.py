@@ -228,7 +228,9 @@ class MappabilityEngine:
         # dispatch ahead of result consumption: overlaps device/RPC latency
         # with host work (the reference's analog is OpenMP dynamic scheduling,
         # algo.hpp:434-439)
-        window = 8 if csv_needed else 64
+        # bounded in-flight batches: overlaps host work with the device while
+        # staying under the remote relay's request-pipeline limit
+        window = 4 if csv_needed else 8
         for t_i, tier in enumerate(self.tiers):
             if len(pending) == 0:
                 break
