@@ -3,8 +3,16 @@
 Runs on whatever JAX backend is default (the real TPU chip under the driver).
 Builds a synthetic genome index host-side (native SA-IS), uploads the rank
 rows, and times the steady-state block-mapper: batched OSS search + bidir
-extension + reverse-complement pass, i.e. the full per-k-mer work of
-`genmap map -K 100 -E 2` (reference hot path /root/reference/src/algo.hpp).
+FMD extension, i.e. the full per-k-mer work of `genmap map -K 100 -E 2`
+(reference hot path /root/reference/src/algo.hpp).
+
+Measurement design (round 2): the batch loop runs IN-GRAPH — all needle
+batches are uploaded once and a single jitted lax.scan drives them, returning
+only a checksum.  One dispatch + one device->host fetch, so the number is
+steady-state device throughput, insensitive to the remote-TPU relay RTT that
+invalidated round 1's measurement (round 1 dispatched 20 host-blocking chunks
+through the relay and measured 1,992 kmers/s while the same device sustained
+~393k in-session; see NOTES.md).
 
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": "kmers/s/chip", "vs_baseline": N}
@@ -29,6 +37,7 @@ CPU_BASELINE_KMERS_PER_SEC = 2.0e7
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from genmap_tpu.cache import enable_compile_cache
 
@@ -42,6 +51,15 @@ def main() -> None:
     genome_mb = 8
     K, errors = 100, 2
     B = 1024
+    NB = 40  # in-graph batches per timed dispatch
+
+    try:
+        from genmap_tpu.native.sais import ensure_native
+
+        ensure_native()
+        print("# SACA backend: native SA-IS", file=sys.stderr)
+    except Exception as e:
+        print(f"# SACA backend: NATIVE UNAVAILABLE ({e!r})", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     n = genome_mb * 1_000_000
@@ -62,44 +80,48 @@ def main() -> None:
     params = SearchParams(length=K, overlap=o, rev_compl=True)
 
     tier = eng.tiers[0]
-    run = eng._runner(K, errors, o, J, B, tier, 65535, True, False)
+    run = eng._runner(0, K, errors, o, J, B, tier, 65535, True, False)
     text = eng.text[layout.start : layout.start + layout.length]
 
-    starts = np.arange(0, 40 * B * J, J, dtype=np.int64)
-    cnts = np.full(len(starts), J, dtype=np.int32)
-
-    # warmup / compile
-    t0 = time.time()
-    out = eng._run_batch(run, text, starts[:B], cnts[:B], B, K, J, params)
-    jax.block_until_ready(out["hits"])
-    print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
-
-    # timed steady state.  Needle batches are prebuilt (host prep is not the
-    # engine; this VM's lazily-paged memory would dominate otherwise) and
-    # results are materialized to host numpy — device->host copies are the
-    # only reliable completion barrier through the remote-TPU relay.
-    n_batches = 20
+    # build NB+1 batches of adjacent-k-mer blocks (the +1 is the warmup batch)
     Ln = K + J - 1
-    batches = []
-    for i in range(n_batches):
-        bs = starts[(i + 1) * B : (i + 2) * B]
-        idx = bs[:, None] + np.arange(Ln)[None, :]
-        batches.append(
-            (np.ascontiguousarray(text[idx]), np.full(B, J, np.int32))
-        )
-    # dispatch in chunks of <= 10 with a full drain between chunks: enough
-    # batches in flight to hide round-trip latency, few enough to stay under
-    # the remote relay's request-pipeline limit
-    chunk = 10
+    starts = np.arange(0, (NB + 1) * B * J, J, dtype=np.int64)
+    idx = starts[:, None] + np.arange(Ln)[None, :]
+    needles_all = np.ascontiguousarray(text[idx]).reshape(NB + 1, B, Ln)
+    cnts_all = np.full((NB + 1, B), J, dtype=np.int32)
+
+    def many(needles, cnts):
+        def step(acc, x):
+            nd, ct = x
+            out = run(nd, ct)
+            return (
+                acc
+                + out["hits"].sum(dtype=jnp.uint32)
+                + out["overflow"].sum(dtype=jnp.uint32),
+                None,
+            )
+
+        acc, _ = jax.lax.scan(step, jnp.uint32(0), (needles, cnts))
+        return acc
+
+    many_jit = jax.jit(many)
+
+    # compile + warmup on one batch
     t0 = time.time()
-    checksum = 0
-    for s in range(0, len(batches), chunk):
-        outs = [run(n_, c_) for n_, c_ in batches[s : s + chunk]]
-        for o_ in outs:
-            checksum += int(np.asarray(o_["hits"]).sum()) + int(np.asarray(o_["overflow"]).sum())
+    d_needles = jax.device_put(needles_all[:1])
+    d_cnts = jax.device_put(cnts_all[:1])
+    w = int(many_jit(d_needles, d_cnts))
+    print(f"# compile+warmup: {time.time() - t0:.1f}s (checksum {w})", file=sys.stderr)
+
+    # timed: one dispatch over NB in-graph batches
+    d_needles = jax.device_put(needles_all[1:])
+    d_cnts = jax.device_put(cnts_all[1:])
+    jax.block_until_ready(d_needles)
+    t0 = time.time()
+    checksum = int(many_jit(d_needles, d_cnts))
     dt = time.time() - t0
     print(f"# checksum {checksum}", file=sys.stderr)
-    kmers = n_batches * B * J
+    kmers = NB * B * J
     rate = kmers / dt
     print(f"# {kmers} kmers in {dt:.2f}s", file=sys.stderr)
 

@@ -107,21 +107,24 @@ class MappabilityEngine:
         self.data = data
         self.batch_kmers = batch_kmers
         self.mesh = mesh
-        self.index = DeviceIndex.from_host(data)
+        self.indices = [DeviceIndex.from_part(data, p) for p in data.parts]
+        self.batch_blocks = batch_blocks
         if mesh is not None:
             from genmap_tpu.parallel.mesh import batch_sharding, replicate_index
 
-            self.index = replicate_index(self.index, mesh)
+            self.indices = [replicate_index(ix, mesh) for ix in self.indices]
             self._batch_sharding = batch_sharding(mesh)
             # batch size must split evenly over the mesh
             n = mesh.devices.size
             self.batch_blocks = -(-batch_blocks // n) * n
         self.text = data.decode_text()
         self.layouts = file_layouts(data)
-        self.batch_blocks = batch_blocks
         self.tiers = tiers
         self._runners: dict = {}
-        self._locate_fn = jax.jit(lambda pos, valid: locate(self.index, pos, valid))
+        self._locate_fns = [
+            jax.jit(lambda pos, valid, ix=ix: locate(ix, pos, valid))
+            for ix in self.indices
+        ]
         self._locate_chunk = 1 << 14
         # global sequence id -> file ordinal, for exclude-pseudo
         self.seq_file_id = np.zeros(data.nseq, dtype=np.int64)
@@ -134,11 +137,11 @@ class MappabilityEngine:
 
     # ------------------------------------------------------------------
 
-    def _runner(self, K, errors, o, J, B, tier, cap, rev_compl, with_states):
-        key = (K, errors, o, J, B, tier, cap, rev_compl, with_states)
+    def _runner(self, pi, K, errors, o, J, B, tier, cap, rev_compl, with_states):
+        key = (pi, K, errors, o, J, B, tier, cap, rev_compl, with_states)
         if key not in self._runners:
             self._runners[key] = make_block_mapper(
-                self.index,
+                self.indices[pi],
                 K=K,
                 errors=errors,
                 overlap=o,
@@ -152,21 +155,35 @@ class MappabilityEngine:
             )
         return self._runners[key]
 
-    def locate_many(self, positions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Resolve SA rows to (seq_no, seq_pos) pairs, chunked on device."""
+    def _runners_for(self, K, errors, o, J, B, tier, cap, rev_compl, with_states):
+        return [
+            self._runner(pi, K, errors, o, J, B, tier, cap, rev_compl, with_states)
+            for pi in range(len(self.indices))
+        ]
+
+    def _map_seq_ids(self, pi: int, i1: np.ndarray) -> np.ndarray:
+        """Map part-local sequence ids to global ids (rc half after all fwd)."""
+        part = self.data.parts[pi]
+        np_, off = part.nseq_part, part.seq_off
+        i1 = i1.astype(np.int64)
+        return np.where(i1 < np_, off + i1, self.data.nseq + off + (i1 - np_))
+
+    def locate_many(self, pi: int, positions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Resolve part SA rows to GLOBAL (seq_no, seq_pos), chunked on device."""
         n = len(positions)
         i1 = np.empty(n, dtype=np.uint32)
         i2 = np.empty(n, dtype=np.uint32)
         ch = self._locate_chunk
+        fn = self._locate_fns[pi]
         for s in range(0, n, ch):
             part = positions[s : s + ch].astype(np.uint32)
             pad = ch - len(part)
             pp = np.concatenate([part, np.zeros(pad, np.uint32)])
             vv = np.concatenate([np.ones(len(part), bool), np.zeros(pad, bool)])
-            r1, r2 = self._locate_fn(pp, vv)
+            r1, r2 = fn(pp, vv)
             i1[s : s + ch] = np.asarray(r1)[: len(part)]
             i2[s : s + ch] = np.asarray(r2)[: len(part)]
-        return i1, i2
+        return self._map_seq_ids(pi, i1), i2
 
     # ------------------------------------------------------------------
 
@@ -238,16 +255,20 @@ class MappabilityEngine:
             if self.mesh is not None:
                 n = self.mesh.devices.size
                 B = max(n, -(-B // n) * n)
-            run = self._runner(K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed)
+            runs = self._runners_for(
+                K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed
+            )
             still: list[np.ndarray] = []
-            inflight: list[tuple[np.ndarray, dict]] = []
+            inflight: list[tuple[np.ndarray, list]] = []
 
             def drain(one):
                 while inflight and (len(inflight) >= window or one):
-                    sel, out = inflight.pop(0)
-                    ovf = np.asarray(out["overflow"])[: len(sel)]
+                    sel, outs = inflight.pop(0)
+                    ovf = np.zeros(len(sel), bool)
+                    for out in outs:
+                        ovf |= np.asarray(out["overflow"])[: len(sel)]
                     self._scatter_batch(
-                        c, locations, out, starts[sel], cnts[sel], ~ovf, layout,
+                        c, locations, outs, starts[sel], cnts[sel], ~ovf, layout,
                         params, K, J, errors, cap, csv_needed, csv,
                     )
                     still.append(sel[ovf])
@@ -258,8 +279,8 @@ class MappabilityEngine:
 
             for s in range(0, len(pending), B):
                 sel = pending[s : s + B]
-                out = self._run_batch(run, text, starts[sel], cnts[sel], B, K, J, params)
-                inflight.append((sel, out))
+                outs = self._run_batch(runs, text, starts[sel], cnts[sel], B, K, J, params)
+                inflight.append((sel, outs))
                 drain(False)
             while inflight:
                 drain(True)
@@ -275,7 +296,7 @@ class MappabilityEngine:
 
     # ------------------------------------------------------------------
 
-    def _run_batch(self, run, text, bstarts, bcnts, B, K, J, params):
+    def _run_batch(self, runs, text, bstarts, bcnts, B, K, J, params):
         nb = len(bstarts)
         Ln = K + J - 1
         pad_b = B - nb
@@ -290,15 +311,20 @@ class MappabilityEngine:
             sh = self._batch_sharding
             needles = jax.device_put(needles, sh)
             cnts = jax.device_put(cnts, sh)
-        return run(needles, cnts)
+        return [run(needles, cnts) for run in runs]
 
     # ------------------------------------------------------------------
 
     def _scatter_batch(
-        self, c, locations, out, bstarts, bcnts, ok, layout, params, K, J,
+        self, c, locations, outs, bstarts, bcnts, ok, layout, params, K, J,
         errors, cap, csv_needed, csv_out,
     ):
-        hits = np.asarray(out["hits"])
+        # per-part counts add up exactly: matches never span parts (parts are
+        # whole-sequence groups and matches never cross sentinels)
+        hits = np.zeros_like(np.asarray(outs[0]["hits"]), dtype=np.uint32)
+        for out in outs:
+            hits += np.asarray(out["hits"])
+        np.minimum(hits, np.uint32(cap), out=hits)
         nb = len(bstarts)
         for b in range(nb):
             if not ok[b]:
@@ -310,13 +336,18 @@ class MappabilityEngine:
         if not csv_needed:
             return
 
-        exact_size = np.asarray(out["exact_size"])  # forward-strand count
-        exact_size_total = np.asarray(out["exact_size_total"])
-        exact_flo = np.asarray(out["exact_flo"])
-        states = tuple(np.asarray(a) for a in out["states"])
+        exact_size = sum(np.asarray(o["exact_size"]).astype(np.int64) for o in outs)
+        per_part = [
+            (
+                np.asarray(o["exact_size_total"]),
+                np.asarray(o["exact_flo"]),
+                tuple(np.asarray(a) for a in o["states"]),
+            )
+            for o in outs
+        ]
         self._csv_batch(
-            c, locations, bstarts, bcnts, ok, states, exact_size,
-            exact_size_total, exact_flo, layout, params, K, errors, cap, csv_out,
+            c, locations, bstarts, bcnts, ok, per_part, exact_size,
+            layout, params, K, errors, cap, csv_out,
         )
 
     def _split_strand(self, i1, i2, K):
@@ -337,43 +368,50 @@ class MappabilityEngine:
         return (p1[o], p2[o]), (m1[om], m2[om])
 
     def _csv_batch(
-        self, c, locations, bstarts, bcnts, ok, states, exact_size,
-        exact_size_total, exact_flo, layout, params, K, errors, cap, csv_out,
+        self, c, locations, bstarts, bcnts, ok, per_part, exact_size,
+        layout, params, K, errors, cap, csv_out,
     ):
-        """CSV location lists + exclude-pseudo (algo.hpp:311-400)."""
-        flo, size, err, valid = states
-        # collect all SA rows to locate in one go
-        jobs: list[tuple] = []  # (kind, b, j, row_offset, count)
-        rows: list[np.ndarray] = []
+        """CSV location lists + exclude-pseudo (algo.hpp:311-400).
 
-        def push(lo, n):
-            rows.append(np.arange(lo, lo + n, dtype=np.int64))
-
-        nb = len(bstarts)
-        for b in range(nb):
-            if not ok[b]:
-                continue
-            cnt = int(bcnts[b])
-            for j in range(cnt):
-                for f in np.nonzero(valid[b, j])[0]:
-                    n = int(size[b, j, f])
-                    if n:
-                        jobs.append(("all", b, j, sum(map(len, rows)), n))
-                        push(int(flo[b, j, f]), n)
-                if int(exact_size[b, j]) > 1:
-                    et = int(exact_size_total[b, j])
-                    jobs.append(("exact", b, j, sum(map(len, rows)), et))
-                    push(int(exact_flo[b, j]), et)
-
-        if not jobs:
-            return
-        all_rows = np.concatenate(rows)
-        i1, i2 = self.locate_many(all_rows)
-
+        `per_part` is a list of (exact_size_total, exact_flo, states) per
+        index part; located rows of all parts are merged per k-mer (global
+        sequence ids make the merge order-free; lists are sorted afterwards).
+        """
         per_kmer: dict[tuple[int, int], dict] = {}
-        for kind, b, j, off, n in jobs:
-            d = per_kmer.setdefault((b, j), {"all": [], "exact": []})
-            d[kind].append((i1[off : off + n], i2[off : off + n]))
+        nb = len(bstarts)
+        for pi, (exact_size_total, exact_flo, states) in enumerate(per_part):
+            flo, size, err, valid = states
+            # collect all SA rows of this part to locate in one go
+            jobs: list[tuple] = []  # (kind, b, j, row_offset, count)
+            rows: list[np.ndarray] = []
+
+            def push(lo, n):
+                rows.append(np.arange(lo, lo + n, dtype=np.int64))
+
+            for b in range(nb):
+                if not ok[b]:
+                    continue
+                cnt = int(bcnts[b])
+                for j in range(cnt):
+                    for f in np.nonzero(valid[b, j])[0]:
+                        n = int(size[b, j, f])
+                        if n:
+                            jobs.append(("all", b, j, sum(map(len, rows)), n))
+                            push(int(flo[b, j, f]), n)
+                    if int(exact_size[b, j]) > 1:
+                        et = int(exact_size_total[b, j])
+                        if et:
+                            jobs.append(("exact", b, j, sum(map(len, rows)), et))
+                            push(int(exact_flo[b, j]), et)
+
+            if not jobs:
+                continue
+            all_rows = np.concatenate(rows)
+            i1, i2 = self.locate_many(pi, all_rows)
+
+            for kind, b, j, off, n in jobs:
+                d = per_kmer.setdefault((b, j), {"all": [], "exact": []})
+                d[kind].append((i1[off : off + n], i2[off : off + n]))
 
         directory = self.data.directory
         nseq = self.data.nseq
@@ -395,7 +433,8 @@ class MappabilityEngine:
 
             entry = ((f1, f2), (r1, r2))
             if not directory and int(exact_size[b, j]) > 1:
-                e1, e2 = d["exact"][0]
+                e1 = np.concatenate([x[0] for x in d["exact"]])
+                e2 = np.concatenate([x[1] for x in d["exact"]])
                 fwd_exact = e1 < nseq  # key placement uses fwd occurrences only
                 for q1, q2 in zip(
                     e1[fwd_exact].astype(np.int64), e2[fwd_exact].astype(np.int64)

@@ -3,21 +3,41 @@
 Pipeline (capability-equivalent to /root/reference/src/seqan_libdivsufsort.h:35-240
 and /root/reference/src/indexing.hpp:73-148, re-designed around numpy bulk ops):
 
-    encode text with per-sequence sentinels (ord+1, sentinel=0)
-    -> suffix array (native SA-IS or numpy doubling)
-    -> BWT + sentinel bitvector
-    -> text-order sampled SA + indicator bitvector      (fwd only)
-    -> TPU rank rows (see index/fmindex.py)
-    repeat with every sequence reversed for the reverse index (BWT only)
+    partition input sequences into parts (whole-sequence groups whose
+        both-strand symbol count fits uint32)
+    per part:
+        encode [seqs, rc(seqs)] with per-sequence sentinels (ord+1, sentinel=0)
+        -> suffix array (native SA-IS)
+        -> BWT + sentinel bitvector
+        -> text-order sampled SA + indicator bitvector
+        -> TPU rank rows (see index/fmindex.py)
+
+Because every part's text contains both strands, bidirectional search uses the
+FMD trick on a single BWT — no reversed-text index is built (the reference
+builds one: /root/reference/src/indexing.hpp:130-147).  All per-suffix
+post-processing is chunked so peak host memory stays a small multiple of the
+part size even for multi-gigabase parts.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from genmap_tpu.index.fmindex import COL_SBITS, COL_SCNT, FMIndexData, build_rank_rows
+from genmap_tpu.index.fmindex import (
+    BITWORDS,
+    BLOCK,
+    FMIndexData,
+    IndexPart,
+    build_rank_rows,
+)
 from genmap_tpu.index.suffix import suffix_array
 from genmap_tpu.io.fasta import FastaFile
+
+# max symbols (both strands + sentinels) per part: uint32 positions on device,
+# and the SA-IS uint32 path needs n_part + 1 < 2^32 - 1
+MAX_PART_SYMBOLS = 2**32 - 4
+
+_CHUNK = 64 * 1024 * 1024
 
 
 def _make_ctext(seqs: list[np.ndarray]) -> np.ndarray:
@@ -34,10 +54,10 @@ def _make_ctext(seqs: list[np.ndarray]) -> np.ndarray:
 
 
 def _bwt_of(ctext: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Suffix array -> (sa, bwt codes 0..4, sentinel bits)."""
+    """Suffix array -> (sa, bwt codes 0..4, sentinel bits).  Test helper."""
     sa = suffix_array(ctext)
     n = len(ctext)
-    prev = np.where(sa > 0, sa - 1, n - 1)
+    prev = np.where(sa > 0, sa - 1, np.int64(n - 1)).astype(np.int64)
     bwt_c = ctext[prev]
     sbits = bwt_c == 0
     bwt = np.where(sbits, 0, bwt_c - 1).astype(np.uint8)
@@ -63,23 +83,151 @@ def _pack_text(seqs: list[np.ndarray], has_n: bool) -> tuple[np.ndarray, np.ndar
     return words, nwords, n
 
 
-def build_index(
-    fasta_files: list[FastaFile], sampling: int = 10, directory: bool = False
-) -> FMIndexData:
-    """Build a bidirectional FM-index over all sequences of all files.
+def _bitvec_rank_rows(bits: np.ndarray) -> np.ndarray:
+    """[nblocks, 5] uint32 rank rows (absolute count + 4 words) of a bitvector."""
+    n = len(bits)
+    nblocks = n // BLOCK + 1
+    out = np.zeros((nblocks, 1 + BITWORDS), dtype=np.uint32)
+    per_block = np.zeros(nblocks, dtype=np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)[None, None, :]
+    for c0 in range(0, nblocks * BLOCK, _CHUNK):
+        c1 = min(c0 + _CHUNK, nblocks * BLOCK)
+        b0, b1 = c0 // BLOCK, c1 // BLOCK
+        m = c1 - c0
+        bp = np.zeros(m, dtype=bool)
+        take = max(0, min(c1, n) - c0)
+        if take:
+            bp[:take] = bits[c0 : c0 + take]
+        nb = b1 - b0
+        per_block[b0:b1] = bp.reshape(nb, BLOCK).sum(axis=1, dtype=np.uint32)
+        b = bp.astype(np.uint32).reshape(nb, BITWORDS, 32)
+        out[b0:b1, 1:] = np.bitwise_or.reduce(b << shifts, axis=-1)
+    acc = np.cumsum(per_block, dtype=np.uint64)
+    out[0, 0] = 0
+    out[1:, 0] = acc[:-1].astype(np.uint32)
+    return out
 
-    TPU-first design choice (diverges from the reference's layout, not its
-    semantics): the index covers BOTH strands — every input sequence is
-    followed by the reverse complements of all sequences, appended as extra
-    sequences in the same order.  One search then counts forward and
-    reverse-complement occurrences in a single SA interval (occ_{rc(T)}(w) ==
-    occ_T(rc(w))), replacing the reference's second search pass over
-    reverse-complemented needles (algo.hpp:284-305).  A strand bitvector over
-    SA rows (rank rows in `strand_blocks`) recovers forward-only counts for
-    --no-reverse-complement and per-strand CSV splitting.
-    """
+
+def _build_part(
+    seqs: list[np.ndarray], sampling: int, has_n: bool, seq_off: int
+) -> IndexPart:
+    """Build one FMD sub-index over seqs + their reverse complements."""
     from genmap_tpu.alphabet import revcomp_codes
 
+    nseq_g = len(seqs)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    all_lens = np.concatenate([lens, lens])
+    nseq_all = 2 * nseq_g
+    n_total = int(all_lens.sum()) + nseq_all
+
+    all_seqs = seqs + [revcomp_codes(s) for s in seqs]
+    ctext = _make_ctext(all_seqs)
+    assert len(ctext) == n_total
+    sa = suffix_array(ctext)
+    n = n_total
+
+    starts = np.zeros(nseq_all + 1, dtype=np.int64)  # ctext start of each sequence
+    starts[1:] = np.cumsum(all_lens + 1)
+
+    bwt = np.empty(n, dtype=np.uint8)
+    sbits = np.empty(n, dtype=bool)
+    ind = np.empty(n, dtype=bool)
+    strand_bits = np.empty(n, dtype=bool)
+    char_counts = np.zeros(6, dtype=np.uint64)
+    n_sampled = 0
+    for c0 in range(0, n, _CHUNK):
+        c1 = min(c0 + _CHUNK, n)
+        sac = sa[c0:c1]
+        prev = np.where(sac > 0, sac - 1, np.int64(n - 1)).astype(np.int64)
+        bwt_c = ctext[prev]
+        sb = bwt_c == 0
+        bwt[c0:c1] = np.where(sb, 0, bwt_c - 1)
+        sbits[c0:c1] = sb
+        char_counts += np.bincount(bwt_c, minlength=6).astype(np.uint64)
+
+        i1 = np.searchsorted(starts, sac, side="right") - 1
+        i2 = sac.astype(np.int64) - starts[i1]
+        is_sent = i2 == all_lens[np.minimum(i1, nseq_all - 1)]
+        indc = (~is_sent) & (i2 % sampling == 0)
+        ind[c0:c1] = indc
+        n_sampled += int(indc.sum())
+        strand_bits[c0:c1] = i1 >= nseq_g
+
+    # sampled SA in text order (i2 % sampling == 0), skip sentinel rows
+    sa_i1 = np.empty(n_sampled, dtype=np.uint32)
+    sa_i2 = np.empty(n_sampled, dtype=np.uint32)
+    w = 0
+    for c0 in range(0, n, _CHUNK):
+        c1 = min(c0 + _CHUNK, n)
+        indc = ind[c0:c1]
+        sac = sa[c0:c1][indc]
+        i1 = np.searchsorted(starts, sac, side="right") - 1
+        i2 = sac.astype(np.int64) - starts[i1]
+        m = len(sac)
+        sa_i1[w : w + m] = i1.astype(np.uint32)
+        sa_i2[w : w + m] = i2.astype(np.uint32)
+        w += m
+    del sa
+
+    fwd = build_rank_rows(bwt, sbits, has_n, ind)
+    strand_blocks = _bitvec_rank_rows(strand_bits)
+
+    # C array over real symbols, sentinels smallest (char_counts[0] counts
+    # sentinel bytes; real chars are stored shifted by one in ctext)
+    C = np.zeros(6, dtype=np.uint64)
+    C[0] = nseq_all
+    np.cumsum(char_counts[1:], out=C[1:])
+    C[1:] += nseq_all
+    assert C[5] == n_total
+
+    return IndexPart(
+        fwd=fwd,
+        C=C,
+        sa_i1=sa_i1,
+        sa_i2=sa_i2,
+        strand_blocks=strand_blocks,
+        seq_off=seq_off,
+        nseq_part=nseq_g,
+    )
+
+
+def _partition(lens: np.ndarray, limit: int) -> list[tuple[int, int]]:
+    """Greedy contiguous grouping: each group's 2*(sum(len)+count) <= limit."""
+    groups = []
+    i, nseq = 0, len(lens)
+    while i < nseq:
+        s = i
+        tot = 0
+        while i < nseq and (s == i or 2 * (tot + int(lens[i]) + 1) <= limit):
+            if 2 * (int(lens[i]) + 1) > limit:
+                raise ValueError(
+                    f"sequence {i} is too long for a single index part "
+                    f"({int(lens[i])} bases; limit {limit // 2 - 1})"
+                )
+            tot += int(lens[i]) + 1
+            i += 1
+        groups.append((s, i))
+    return groups
+
+
+def build_index(
+    fasta_files: list[FastaFile],
+    sampling: int = 10,
+    directory: bool = False,
+    max_part_symbols: int = MAX_PART_SYMBOLS,
+) -> FMIndexData:
+    """Build an FMD-index (one or more parts) over all sequences of all files.
+
+    TPU-first design choice (diverges from the reference's layout, not its
+    semantics): each part's text covers BOTH strands — the input sequences
+    followed by their reverse complements in the same order.  One search then
+    counts forward and reverse-complement occurrences in a single SA interval
+    (occ_{rc(T)}(w) == occ_T(rc(w))), replacing the reference's second search
+    pass over reverse-complemented needles (algo.hpp:284-305), and enables
+    FMD bidirectional search on a single BWT.  A strand bitvector over SA rows
+    (rank rows in `strand_blocks`) recovers forward-only counts for
+    --no-reverse-complement and per-strand CSV splitting.
+    """
     seqs: list[np.ndarray] = []
     seq_files: list[str] = []
     seq_names: list[str] = []
@@ -92,58 +240,13 @@ def build_index(
         raise ValueError("There is no non-empty sequence in the fasta file(s).")
 
     seq_lens = np.array([len(s) for s in seqs], dtype=np.uint64)
-    nseq = len(seqs)
-
-    all_seqs = seqs + [revcomp_codes(s) for s in seqs]
-    all_lens = np.concatenate([seq_lens, seq_lens])
-    nseq_all = 2 * nseq
-    n_total = int(all_lens.sum()) + nseq_all
-    if n_total >= 2**32:
-        raise NotImplementedError(
-            "inputs >= 2 Gbp (both strands + sentinels) need 64-bit rank rows;"
-            " not built yet"
-        )
-
     has_n = any(bool((s == 4).any()) for s in seqs)
     alphabet_size = 5 if has_n else 4
 
-    # ---- forward index -----------------------------------------------------
-    ctext = _make_ctext(all_seqs)
-    sa, bwt, sbits = _bwt_of(ctext)
-
-    # sampled SA in text order (i2 % sampling == 0), skip sentinel rows
-    starts = np.zeros(nseq_all + 1, dtype=np.int64)  # ctext start of each sequence
-    starts[1:] = np.cumsum(all_lens.astype(np.int64) + 1)
-    i1 = np.searchsorted(starts, sa, side="right") - 1
-    i2 = sa - starts[i1]
-    is_sent = i2 == all_lens.astype(np.int64)[np.minimum(i1, nseq_all - 1)]
-    ind = (~is_sent) & (i2 % sampling == 0)
-    sa_i1 = i1[ind].astype(np.uint32)
-    sa_i2 = i2[ind].astype(np.uint32)
-
-    fwd = build_rank_rows(bwt, sbits, has_n, ind)
-
-    # strand bitvector over SA rows: row points into the rc half
-    strand_bits = i1 >= nseq
-    strand_blocks = build_rank_rows(
-        np.zeros(len(strand_bits), np.uint8), strand_bits, False, None
-    ).blocks[:, [COL_SCNT] + list(range(COL_SBITS, COL_SBITS + 4))]
-
-    # C array over real symbols, sentinels smallest
-    counts = np.zeros(5, dtype=np.uint64)
-    real = ~sbits
-    for c in range(5):
-        counts[c] = int(((bwt == c) & real).sum())
-    C = np.zeros(6, dtype=np.uint64)
-    C[0] = nseq_all
-    np.cumsum(counts, out=C[1:])
-    C[1:] += nseq_all
-    assert C[5] == n_total
-
-    # ---- reverse index (each sequence reversed; BWT only) ------------------
-    ctext_rev = _make_ctext([s[::-1] for s in all_seqs])
-    _, bwt_r, sbits_r = _bwt_of(ctext_rev)
-    rev = build_rank_rows(bwt_r, sbits_r, has_n, None)
+    groups = _partition(seq_lens, max_part_symbols)
+    parts = [
+        _build_part(seqs[s:e], sampling, has_n, seq_off=s) for s, e in groups
+    ]
 
     text_words, text_nwords, text_len = _pack_text(seqs, has_n)
 
@@ -151,12 +254,7 @@ def build_index(
         alphabet_size=alphabet_size,
         sampling=sampling,
         directory=directory,
-        fwd=fwd,
-        rev=rev,
-        C=C,
-        sa_i1=sa_i1,
-        sa_i2=sa_i2,
-        strand_blocks=strand_blocks.copy(),
+        parts=parts,
         seq_files=seq_files,
         seq_names=seq_names,
         seq_lens=seq_lens,

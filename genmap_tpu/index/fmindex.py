@@ -1,4 +1,4 @@
-"""Bidirectional FM-index, laid out for TPU rank queries.
+"""Bidirectional FMD-index, laid out for TPU rank queries.
 
 Design (TPU-first, not a port of SeqAn's EPR dictionaries — see SURVEY.md §7):
 
@@ -17,7 +17,7 @@ gather per query position plus vectorized popcounts:
     [Dna5 only]
     col   16     absolute N count at block start
     cols 17..20  N bitvector
-    [fwd index only — suffix-array sampling indicator]
+    [suffix-array sampling indicator]
     col   next   absolute indicator count at block start
     cols  +1..+4 indicator bitvector
 
@@ -26,9 +26,20 @@ counts from the raw field counts (N never collides: it is the *last* symbol in
 the order A<C<G<T<N, so `smaller-than` counts for bidirectional synchronisation
 never need N-specific prefix ranks).
 
-This mirrors the *capability* of SeqAn's Levels/EPR prefix-rank dictionaries
-(reference config /root/reference/src/common.hpp:38-49) with a layout chosen
-for TPU row gathers instead of cache lines.
+Because the text always contains BOTH strands, bidirectional search needs only
+this ONE table (the FMD trick, cf. Heng Li's fermi FMD-index): appending char
+c on the right of a pattern P equals prepending comp(c) to rc(P), whose
+interval lives in the same BWT.  The reference instead keeps a second BWT of
+the reversed text (/root/reference/src/genmap_helper.hpp:88-95); dropping it
+halves index memory and construction work.
+
+Genomes whose both-strand symbol count would exceed uint32 range are split
+into PARTS: groups of whole input sequences, each with its own FMD table over
+its sequences + their reverse complements.  Occurrence counts are exact under
+this split (matches never cross sequence boundaries), so per-part counts
+simply add up — this is also the multi-chip sharding axis (one part per
+device group, merged with psum).  The reference instead dispatches to wider
+integer types (/root/reference/src/indexing.hpp:151-170).
 
 The suffix array is sampled in text order (i2 % sampling == 0), skipping
 sentinel positions, with an indicator bitvector over SA rows — the same
@@ -54,6 +65,9 @@ COL_SCNT = 11
 COL_SBITS = 12
 _BASE_COLS = 16
 
+# chunk size (in BLOCK-aligned symbols) for bounded-memory construction
+_CHUNK = 64 * 1024 * 1024
+
 
 def _ncols(has_n: bool, has_ind: bool) -> int:
     return _BASE_COLS + 5 * int(has_n) + 5 * int(has_ind)
@@ -69,7 +83,7 @@ def _col_icnt(has_n: bool) -> int:
 
 @dataclass
 class RankRows:
-    """Rank rows for one BWT direction."""
+    """Rank rows for one BWT."""
 
     blocks: np.ndarray  # [nblocks, ncols] uint32
     has_n: bool
@@ -83,27 +97,24 @@ class RankRows:
 
 def _pack_words(codes2: np.ndarray, nblocks: int) -> np.ndarray:
     """Pack 2-bit codes [nblocks*BLOCK] into uint32 words [nblocks, WORDS]."""
-    c = codes2.astype(np.uint64).reshape(nblocks, WORDS, 16)
-    shifts = (2 * np.arange(16, dtype=np.uint64))[None, None, :]
-    return (c << shifts).sum(axis=-1).astype(np.uint32)
+    c = codes2.astype(np.uint32).reshape(nblocks, WORDS, 16)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    out = c << shifts
+    return np.bitwise_or.reduce(out, axis=-1)
 
 
 def _pack_bits(bits: np.ndarray, nblocks: int) -> np.ndarray:
     """Pack bool bits [nblocks*BLOCK] into uint32 words [nblocks, BITWORDS]."""
-    b = bits.astype(np.uint64).reshape(nblocks, BITWORDS, 32)
-    shifts = np.arange(32, dtype=np.uint64)[None, None, :]
-    return (b << shifts).sum(axis=-1).astype(np.uint32)
+    b = bits.astype(np.uint32).reshape(nblocks, BITWORDS, 32)
+    shifts = np.arange(32, dtype=np.uint32)[None, None, :]
+    return np.bitwise_or.reduce(b << shifts, axis=-1)
 
 
-def _abs_counts(per_block: np.ndarray) -> np.ndarray:
-    """Exclusive cumulative sum over blocks -> absolute count at block start."""
-    out = np.zeros_like(per_block, dtype=np.uint64)
-    np.cumsum(per_block[:-1], axis=0, out=out[1:]) if per_block.ndim == 1 else None
-    if per_block.ndim == 1:
-        return out.astype(np.uint32)
-    out = np.zeros(per_block.shape, dtype=np.uint64)
-    out[1:] = np.cumsum(per_block[:-1], axis=0)
-    return out.astype(np.uint32)
+def _exclusive_cumsum_into(per_block: np.ndarray, out: np.ndarray) -> None:
+    """out[i] = sum(per_block[:i]) as uint32 (counts fit by construction)."""
+    acc = np.cumsum(per_block, dtype=np.uint64)
+    out[0] = 0
+    out[1:] = acc[:-1].astype(np.uint32)
 
 
 def build_rank_rows(
@@ -113,50 +124,95 @@ def build_rank_rows(
 
     `bwt[i]` is the real symbol code at BWT position i (value irrelevant where
     `sbits[i]` is set).  `ind`, if given, is the SA-sampling indicator.
+    Processes the input in bounded chunks so multi-gigabase BWTs don't blow up
+    host memory with full-length temporaries.
     """
     n = int(len(bwt))
     has_ind = ind is not None
     nblocks = n // BLOCK + 1  # always one extra row so queries at p == n work
-    pad = nblocks * BLOCK - n
-
-    bwt_p = np.concatenate([bwt, np.zeros(pad, dtype=bwt.dtype)])
-    sbits_p = np.concatenate([sbits, np.zeros(pad, dtype=bool)])
-    nbits_p = (bwt_p == 4) & ~sbits_p if has_n else None
-
-    codes2 = np.where((bwt_p >= 4) | sbits_p, 0, bwt_p).astype(np.uint8)
 
     ncols = _ncols(has_n, has_ind)
     blocks = np.zeros((nblocks, ncols), dtype=np.uint32)
-    blocks[:, COL_WORDS : COL_WORDS + WORDS] = _pack_words(codes2, nblocks)
+    # per-block counts, accumulated chunk by chunk, cumsum'd at the end
+    le_pb = np.zeros((3, nblocks), dtype=np.uint32)
+    s_pb = np.zeros(nblocks, dtype=np.uint32)
+    n_pb = np.zeros(nblocks, dtype=np.uint32) if has_n else None
+    i_pb = np.zeros(nblocks, dtype=np.uint32) if has_ind else None
 
-    c2 = codes2.reshape(nblocks, BLOCK)
+    ci = _col_icnt(has_n)
+    cn = _col_ncnt(has_n)
+    for c0 in range(0, nblocks * BLOCK, _CHUNK):
+        c1 = min(c0 + _CHUNK, nblocks * BLOCK)
+        b0, b1 = c0 // BLOCK, c1 // BLOCK
+        m = c1 - c0
+        bwt_p = np.zeros(m, dtype=np.uint8)
+        sbits_p = np.zeros(m, dtype=bool)
+        take = max(0, min(c1, n) - c0)
+        if take:
+            bwt_p[:take] = bwt[c0 : c0 + take]
+            sbits_p[:take] = sbits[c0 : c0 + take]
+        nb = b1 - b0
+
+        codes2 = np.where((bwt_p >= 4) | sbits_p, 0, bwt_p).astype(np.uint8)
+        blocks[b0:b1, COL_WORDS : COL_WORDS + WORDS] = _pack_words(codes2, nb)
+        c2 = codes2.reshape(nb, BLOCK)
+        for k in range(3):
+            le_pb[k, b0:b1] = (c2 <= k).sum(axis=1, dtype=np.uint32)
+
+        sb = sbits_p.reshape(nb, BLOCK)
+        s_pb[b0:b1] = sb.sum(axis=1, dtype=np.uint32)
+        blocks[b0:b1, COL_SBITS : COL_SBITS + BITWORDS] = _pack_bits(sbits_p, nb)
+
+        if has_n:
+            nbits_p = (bwt_p == 4) & ~sbits_p
+            n_pb[b0:b1] = nbits_p.reshape(nb, BLOCK).sum(axis=1, dtype=np.uint32)
+            blocks[b0:b1, cn + 1 : cn + 1 + BITWORDS] = _pack_bits(nbits_p, nb)
+
+        if has_ind:
+            ind_p = np.zeros(m, dtype=bool)
+            if take:
+                ind_p[:take] = ind[c0 : c0 + take]
+            i_pb[b0:b1] = ind_p.reshape(nb, BLOCK).sum(axis=1, dtype=np.uint32)
+            blocks[b0:b1, ci + 1 : ci + 1 + BITWORDS] = _pack_bits(ind_p, nb)
+
     for k in range(3):
-        per_block = (c2 <= k).sum(axis=1).astype(np.uint64)
-        blocks[:, COL_LE + k] = _abs_counts(per_block)
-
-    sb = sbits_p.reshape(nblocks, BLOCK)
-    blocks[:, COL_SCNT] = _abs_counts(sb.sum(axis=1).astype(np.uint64))
-    blocks[:, COL_SBITS : COL_SBITS + BITWORDS] = _pack_bits(sbits_p, nblocks)
-
+        _exclusive_cumsum_into(le_pb[k], blocks[:, COL_LE + k])
+    _exclusive_cumsum_into(s_pb, blocks[:, COL_SCNT])
     if has_n:
-        cn = _col_ncnt(has_n)
-        nb = nbits_p.reshape(nblocks, BLOCK)
-        blocks[:, cn] = _abs_counts(nb.sum(axis=1).astype(np.uint64))
-        blocks[:, cn + 1 : cn + 1 + BITWORDS] = _pack_bits(nbits_p, nblocks)
-
+        _exclusive_cumsum_into(n_pb, blocks[:, cn])
     if has_ind:
-        ci = _col_icnt(has_n)
-        ind_p = np.concatenate([ind.astype(bool), np.zeros(pad, dtype=bool)])
-        ib = ind_p.reshape(nblocks, BLOCK)
-        blocks[:, ci] = _abs_counts(ib.sum(axis=1).astype(np.uint64))
-        blocks[:, ci + 1 : ci + 1 + BITWORDS] = _pack_bits(ind_p, nblocks)
+        _exclusive_cumsum_into(i_pb, blocks[:, ci])
 
     return RankRows(blocks=blocks, has_n=has_n, has_ind=has_ind, length=n)
 
 
 @dataclass
+class IndexPart:
+    """One FMD sub-index over a contiguous group of input sequences.
+
+    Covers input sequences [seq_off, seq_off + nseq_part) plus their reverse
+    complements (local sequence ids nseq_part..2*nseq_part-1 in the same
+    order).
+    """
+
+    fwd: RankRows
+    C: np.ndarray  # [6] uint64: C[c] = 2*nseq_part + #chars < c ; C[5] = n_total
+    sa_i1: np.ndarray  # sampled SA values, local sequence number (uint32)
+    sa_i2: np.ndarray  # sampled SA values, sequence position (uint32)
+    # rank rows of the strand bitvector over SA rows (rc-half suffixes):
+    # [nblocks, 5] uint32 = absolute count + 4 bitvector words per 128 rows
+    strand_blocks: np.ndarray
+    seq_off: int
+    nseq_part: int
+
+    @property
+    def n_total(self) -> int:
+        return int(self.C[5])
+
+
+@dataclass
 class FMIndexData:
-    """Host-side bidirectional FM-index + metadata (device upload happens later).
+    """Host-side FMD-index (one or more parts) + metadata.
 
     Equivalent capability to the reference's persisted index directory
     (.txt/.sa/.lf/.rev.lf fibres + index.info + index.ids,
@@ -166,14 +222,7 @@ class FMIndexData:
     alphabet_size: int  # 4 or 5
     sampling: int
     directory: bool  # was the index built from a fasta directory?
-    fwd: RankRows
-    rev: RankRows
-    C: np.ndarray  # [6] uint64: C[c] = nseq_all + #chars < c ; C[5] = n_total
-    sa_i1: np.ndarray  # sampled SA values, sequence number (uint32)
-    sa_i2: np.ndarray  # sampled SA values, sequence position (uint32)
-    # rank rows of the strand bitvector over SA rows (rc-half suffixes):
-    # [nblocks, 5] uint32 = absolute count + 4 bitvector words per 128 rows
-    strand_blocks: np.ndarray
+    parts: list  # list[IndexPart]
     # directory information: per INPUT sequence (the rc half is implicit)
     seq_files: list[str]  # source fasta file name per sequence
     seq_names: list[str]
@@ -190,10 +239,6 @@ class FMIndexData:
     @property
     def nseq(self) -> int:
         return len(self.seq_names)
-
-    @property
-    def n_total(self) -> int:
-        return int(self.C[5])
 
     # ---- text access -------------------------------------------------------
 
@@ -217,13 +262,19 @@ class FMIndexData:
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         meta = {
-            "format_version": 2,  # v2: both-strand text, strand rank rows
+            "format_version": 3,  # v3: FMD (single BWT), sub-index parts
             "alphabet_size": self.alphabet_size,
             "sampling_rate": self.sampling,
             "fasta_directory": self.directory,
             "text_len": self.text_len,
-            "fwd_length": self.fwd.length,
-            "rev_length": self.rev.length,
+            "parts": [
+                {
+                    "length": p.fwd.length,
+                    "seq_off": p.seq_off,
+                    "nseq_part": p.nseq_part,
+                }
+                for p in self.parts
+            ],
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f, indent=1)
@@ -232,12 +283,12 @@ class FMIndexData:
         with open(os.path.join(path, "index.ids"), "w") as f:
             for fn, ln, nm in zip(self.seq_files, self.seq_lens, self.seq_names):
                 f.write(f"{fn};{int(ln)};{nm}\n")
-        np.save(os.path.join(path, "fwd_blocks.npy"), self.fwd.blocks)
-        np.save(os.path.join(path, "rev_blocks.npy"), self.rev.blocks)
-        np.save(os.path.join(path, "C.npy"), self.C)
-        np.save(os.path.join(path, "sa_i1.npy"), self.sa_i1)
-        np.save(os.path.join(path, "sa_i2.npy"), self.sa_i2)
-        np.save(os.path.join(path, "strand_blocks.npy"), self.strand_blocks)
+        for i, p in enumerate(self.parts):
+            np.save(os.path.join(path, f"p{i}_blocks.npy"), p.fwd.blocks)
+            np.save(os.path.join(path, f"p{i}_C.npy"), p.C)
+            np.save(os.path.join(path, f"p{i}_sa_i1.npy"), p.sa_i1)
+            np.save(os.path.join(path, f"p{i}_sa_i2.npy"), p.sa_i2)
+            np.save(os.path.join(path, f"p{i}_strand.npy"), p.strand_blocks)
         np.save(os.path.join(path, "text_words.npy"), self.text_words)
         np.save(os.path.join(path, "text_nwords.npy"), self.text_nwords)
 
@@ -245,7 +296,7 @@ class FMIndexData:
     def load(path: str, mmap: bool = False) -> "FMIndexData":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        if meta.get("format_version") != 2:
+        if meta.get("format_version") != 3:
             raise ValueError(
                 f"unsupported index format_version {meta.get('format_version')};"
                 " rebuild the index with this version of genmap-tpu"
@@ -263,28 +314,32 @@ class FMIndexData:
                 seq_lens.append(int(line[first + 1 : second]))
                 seq_names.append(line[second + 1 :])
         has_n = meta["alphabet_size"] == 5
-        fwd = RankRows(
-            blocks=np.load(os.path.join(path, "fwd_blocks.npy"), mmap_mode=mm),
-            has_n=has_n,
-            has_ind=True,
-            length=meta["fwd_length"],
-        )
-        rev = RankRows(
-            blocks=np.load(os.path.join(path, "rev_blocks.npy"), mmap_mode=mm),
-            has_n=has_n,
-            has_ind=False,
-            length=meta["rev_length"],
-        )
+        parts = []
+        for i, pm in enumerate(meta["parts"]):
+            fwd = RankRows(
+                blocks=np.load(os.path.join(path, f"p{i}_blocks.npy"), mmap_mode=mm),
+                has_n=has_n,
+                has_ind=True,
+                length=pm["length"],
+            )
+            parts.append(
+                IndexPart(
+                    fwd=fwd,
+                    C=np.load(os.path.join(path, f"p{i}_C.npy")),
+                    sa_i1=np.load(os.path.join(path, f"p{i}_sa_i1.npy"), mmap_mode=mm),
+                    sa_i2=np.load(os.path.join(path, f"p{i}_sa_i2.npy"), mmap_mode=mm),
+                    strand_blocks=np.load(
+                        os.path.join(path, f"p{i}_strand.npy"), mmap_mode=mm
+                    ),
+                    seq_off=pm["seq_off"],
+                    nseq_part=pm["nseq_part"],
+                )
+            )
         return FMIndexData(
             alphabet_size=meta["alphabet_size"],
             sampling=meta["sampling_rate"],
             directory=meta["fasta_directory"],
-            fwd=fwd,
-            rev=rev,
-            C=np.load(os.path.join(path, "C.npy")),
-            sa_i1=np.load(os.path.join(path, "sa_i1.npy"), mmap_mode=mm),
-            sa_i2=np.load(os.path.join(path, "sa_i2.npy"), mmap_mode=mm),
-            strand_blocks=np.load(os.path.join(path, "strand_blocks.npy"), mmap_mode=mm),
+            parts=parts,
             seq_files=seq_files,
             seq_names=seq_names,
             seq_lens=np.asarray(seq_lens, dtype=np.uint64),

@@ -15,6 +15,9 @@ another once the final sentinel terminates the text).
 
 from __future__ import annotations
 
+import os
+import sys
+
 import numpy as np
 
 
@@ -41,10 +44,27 @@ def suffix_array_numpy(text: np.ndarray) -> np.ndarray:
 
 
 def suffix_array(text: np.ndarray) -> np.ndarray:
-    """Suffix array with the best available backend."""
+    """Suffix array with the best available backend.
+
+    The native SA-IS backend is required above a small size cutoff: the numpy
+    fallback is O(n log^2 n) and silently absorbing a native build failure at
+    genome scale turns a seconds-long build into hours (this bit round 1's
+    driver benchmark).  Below the cutoff the fallback is fine for tests on
+    machines without a compiler, but it still warns.
+    """
     try:
         from genmap_tpu.native import sais
 
         return sais.suffix_array(text)
-    except Exception:
+    except Exception as e:
+        if len(text) > 2_000_000 and not os.environ.get("GENMAP_TPU_ALLOW_SLOW_SACA"):
+            raise RuntimeError(
+                "native SA-IS backend unavailable and input is too large for "
+                "the numpy fallback (set GENMAP_TPU_ALLOW_SLOW_SACA=1 to force)"
+            ) from e
+        print(
+            f"WARNING: native SA-IS backend unavailable ({e!r}); "
+            "falling back to the slow numpy suffix-array builder",
+            file=sys.stderr,
+        )
         return suffix_array_numpy(text)

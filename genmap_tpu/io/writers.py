@@ -20,16 +20,76 @@ def fmt_float(v: int) -> str:
     return f"{f:g}"
 
 
-def _runs(values: np.ndarray):
-    """Yield (value, start, length) runs of a 1-D array."""
+def _runs_arrays(values: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(run values, run starts, run ends) of a 1-D array, vectorized."""
     n = len(values)
     if n == 0:
-        return
+        z = np.empty(0, np.int64)
+        return z, z, z
     change = np.nonzero(values[1:] != values[:-1])[0] + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [n]))
-    for s, e in zip(starts, ends):
-        yield int(values[s]), int(s), int(e - s)
+    starts = np.concatenate(([0], change)).astype(np.int64)
+    ends = np.concatenate((change, [n])).astype(np.int64)
+    return values[starts], starts, ends
+
+
+def _int_chars(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Left-aligned decimal digits of non-negative ints: (chars [n,W], lens)."""
+    a = a.astype(np.int64)
+    n = len(a)
+    nd = np.ones(n, np.int64)
+    t = 10
+    while t <= (int(a.max()) if n else 0):
+        nd += a >= t
+        t *= 10
+    W = int(nd.max()) if n else 1
+    chars = np.zeros((n, W), np.uint8)
+    for j in range(W):
+        e = nd - 1 - j
+        div = np.power(10, np.maximum(e, 0)).astype(np.int64)
+        chars[:, j] = np.where(e >= 0, (a // div) % 10 + 48, 0).astype(np.uint8)
+    return chars, nd
+
+
+def _assemble(n: int, fields: list) -> bytes:
+    """Vectorized byte assembly of n lines from variable-width fields.
+
+    Each field is (chars, lens, mask): `chars` is either constant bytes or a
+    [n, W] uint8 matrix with per-line `lens`; `mask` (or None) selects the
+    lines that emit the field.  Runs one numpy scatter per character column —
+    this is what makes hg38-scale wig/bedgraph emission seconds instead of
+    minutes (the reference streams through 32 KB buffers,
+    /root/reference/src/output.hpp:6).
+    """
+    field_lens = []
+    total = np.zeros(n, np.int64)
+    for chars, lens, mask in fields:
+        if isinstance(chars, bytes):
+            l = np.full(n, len(chars), np.int64)
+        else:
+            l = lens.astype(np.int64)
+        if mask is not None:
+            l = np.where(mask, l, 0)
+        field_lens.append(l)
+        total += l
+    offs = np.zeros(n, np.int64)
+    if n:
+        np.cumsum(total[:-1], out=offs[1:])
+    buf = np.empty(int(total.sum()), np.uint8)
+    cur = offs
+    for (chars, lens, mask), l in zip(fields, field_lens):
+        if isinstance(chars, bytes):
+            arr = np.frombuffer(chars, np.uint8)
+            base = cur if mask is None else cur[mask]
+            for k in range(len(arr)):
+                buf[base + k] = arr[k]
+        else:
+            for k in range(chars.shape[1]):
+                m = lens > k
+                if mask is not None:
+                    m = m & mask
+                buf[cur[m] + k] = chars[m, k]
+        cur = cur + l
+    return buf.tobytes()
 
 
 def save_raw(c: np.ndarray, path: str, mappability: bool, small: bool) -> None:
@@ -88,24 +148,57 @@ def save_txt(
             out.write(b"\n")
 
 
+def _value_tokens(vals: np.ndarray, mappability: bool) -> tuple[np.ndarray, np.ndarray]:
+    """[n, W] byte matrix + lens of the formatted value of each run."""
+    vmax = int(vals.max(initial=0))
+    toks = [fmt_float(v) if mappability else str(v) for v in range(vmax + 1)]
+    width = max(len(t) for t in toks)
+    lut = np.zeros((vmax + 1, width), dtype=np.uint8)
+    lens = np.zeros(vmax + 1, dtype=np.int64)
+    for v, t in enumerate(toks):
+        b = t.encode()
+        lut[v, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[v] = len(b)
+    return lut[vals], lens[vals]
+
+
 def save_wig(
     c: np.ndarray, path_prefix: str, chrom_names, chrom_lens, mappability: bool
 ) -> None:
-    with open(path_prefix + ".wig", "w") as wig:
+    with open(path_prefix + ".wig", "wb") as wig:
         pos = 0
         for name, ln in zip(chrom_names, chrom_lens):
             ln = int(ln)
             vals = c[pos : pos + ln]
             pos += ln
-            last_occ = 0
-            for v, start, occ in _runs(vals):
-                if v == 0:
-                    continue
-                if last_occ != occ:
-                    wig.write(f"variableStep chrom={name} span={occ}\n")
-                sval = fmt_float(v) if mappability else str(v)
-                wig.write(f"{start + 1} {sval}\n")
-                last_occ = occ
+            v, starts, ends = _runs_arrays(np.asarray(vals))
+            keep = v != 0
+            v, starts, occ = v[keep], starts[keep], (ends - starts)[keep]
+            n = len(v)
+            if n == 0:
+                continue
+            # span header before every emitted run whose span differs from
+            # the previous *emitted* run's span (initial last_occ = 0)
+            hdr = np.empty(n, bool)
+            hdr[0] = True
+            hdr[1:] = occ[1:] != occ[:-1]
+            occ_c, occ_l = _int_chars(occ)
+            st_c, st_l = _int_chars(starts + 1)
+            val_c, val_l = _value_tokens(v, mappability)
+            wig.write(
+                _assemble(
+                    n,
+                    [
+                        (f"variableStep chrom={name} span=".encode(), None, hdr),
+                        (occ_c, occ_l, hdr),
+                        (b"\n", None, hdr),
+                        (st_c, st_l, None),
+                        (b" ", None, None),
+                        (val_c, val_l, None),
+                        (b"\n", None, None),
+                    ],
+                )
+            )
     with open(path_prefix + ".chrom.sizes", "w") as cs:
         for name, ln in zip(chrom_names, chrom_lens):
             cs.write(f"{name}\t{int(ln)}\n")
@@ -120,18 +213,36 @@ def save_bedgraph(
     mappability: bool,
 ) -> None:
     suffix = ".bedgraph" if bedgraph_format else ".bed"
-    with open(path_prefix + suffix, "w") as out:
+    with open(path_prefix + suffix, "wb") as out:
         pos = 0
         for name, ln in zip(chrom_names, chrom_lens):
             ln = int(ln)
             vals = c[pos : pos + ln]
             pos += ln
-            for v, start, occ in _runs(vals):
-                if v == 0:
-                    continue
-                name_col = "-\t" if not bedgraph_format else ""
-                sval = fmt_float(v) if mappability else str(v)
-                out.write(f"{name}\t{start}\t{start + occ}\t{name_col}{sval}\n")
+            v, starts, ends = _runs_arrays(np.asarray(vals))
+            keep = v != 0
+            v, starts, ends = v[keep], starts[keep], ends[keep]
+            n = len(v)
+            if n == 0:
+                continue
+            st_c, st_l = _int_chars(starts)
+            en_c, en_l = _int_chars(ends)
+            val_c, val_l = _value_tokens(v, mappability)
+            name_col = b"\t" if bedgraph_format else b"\t-\t"
+            out.write(
+                _assemble(
+                    n,
+                    [
+                        (name.encode() + b"\t", None, None),
+                        (st_c, st_l, None),
+                        (b"\t", None, None),
+                        (en_c, en_l, None),
+                        (name_col, None, None),
+                        (val_c, val_l, None),
+                        (b"\n", None, None),
+                    ],
+                )
+            )
 
 
 def save_csv(

@@ -6,9 +6,19 @@ equivalent of the constant-time EPR prefix-rank queries the reference gets
 from SeqAn (config /root/reference/src/common.hpp:38-49; hot call sites
 /root/reference/src/algo.hpp and find2_index_approx.hpp via goDown/goRight).
 
+Bidirectional search uses the FMD scheme over the single both-strand BWT
+(see index/fmindex.py): a pattern P is tracked as the interval pair
+(I(P), I(rc(P))) in the SAME index.  Left-extension by c is a plain LF step
+on I(P); right-extension by c is a left-extension of I(rc(P)) by comp(c).
+The companion interval's offset update uses the strand symmetry
+occ(rc(P)·d) = occ(comp(d)·P), which turns into suffix sums of the per-char
+slice counts — no second index and no extra gathers.  This replaces the
+two-table bidirectional iterator of the reference (SeqAn's
+BidirectionalIndex, /root/reference/src/common.hpp:51-52).
+
 All functions are shape-polymorphic over a leading batch shape and jit/vmap
-friendly.  Positions, interval bounds and counts are uint32 (inputs up to
-4 Gbp; larger genomes need the 64-bit row variant, not built yet).
+friendly.  Positions, interval bounds and counts are uint32; each index part
+is capped below 2^32 symbols (multi-part indexes cover larger genomes).
 """
 
 from __future__ import annotations
@@ -27,6 +37,7 @@ from genmap_tpu.index.fmindex import (
     COL_WORDS,
     WORDS,
     FMIndexData,
+    IndexPart,
     _col_icnt,
     _col_ncnt,
 )
@@ -35,14 +46,17 @@ _U32 = jnp.uint32
 _MASK55 = np.uint32(0x55555555)
 _FULL = np.uint32(0xFFFFFFFF)
 
+# complement permutation over candidate characters (N is self-complementary)
+_COMP4 = np.array([3, 2, 1, 0], dtype=np.int32)
+_COMP5 = np.array([3, 2, 1, 0, 4], dtype=np.int32)
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DeviceIndex:
-    """Device-resident bidirectional FM-index."""
+    """Device-resident FMD-index part."""
 
     fwd_blocks: jax.Array  # [nb, W] uint32
-    rev_blocks: jax.Array
     C: jax.Array  # [6] uint32
     sa_i1: jax.Array  # sampled SA values
     sa_i2: jax.Array
@@ -56,18 +70,23 @@ class DeviceIndex:
         return 5 if self.has_n else 4
 
     @staticmethod
-    def from_host(data: FMIndexData) -> "DeviceIndex":
+    def from_part(data: FMIndexData, part: IndexPart) -> "DeviceIndex":
         return DeviceIndex(
-            fwd_blocks=jnp.asarray(data.fwd.blocks),
-            rev_blocks=jnp.asarray(data.rev.blocks),
-            C=jnp.asarray(data.C.astype(np.uint32)),
-            sa_i1=jnp.asarray(data.sa_i1),
-            sa_i2=jnp.asarray(data.sa_i2),
-            strand_blocks=jnp.asarray(data.strand_blocks),
+            fwd_blocks=jnp.asarray(part.fwd.blocks),
+            C=jnp.asarray(part.C.astype(np.uint32)),
+            sa_i1=jnp.asarray(part.sa_i1),
+            sa_i2=jnp.asarray(part.sa_i2),
+            strand_blocks=jnp.asarray(part.strand_blocks),
             has_n=data.has_n,
             sampling=data.sampling,
-            n_total=data.n_total,
+            n_total=part.n_total,
         )
+
+    @staticmethod
+    def from_host(data: FMIndexData) -> "DeviceIndex":
+        """Single-part convenience constructor."""
+        assert len(data.parts) == 1, "use from_part for multi-part indexes"
+        return DeviceIndex.from_part(data, data.parts[0])
 
 
 def _field_masks(off: jax.Array) -> jax.Array:
@@ -145,28 +164,50 @@ def extend_all(
     size: jax.Array,
     olo: jax.Array,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Bidirectional extension by EVERY candidate character at once.
+    """Bidirectional FMD extension by EVERY candidate character at once.
 
-    The state is the bidirectional SA-interval pair: in the *main* index (rev
-    index when extending right, fwd index when extending left) the interval is
-    [mlo, mlo+size); in the *other* index it is [olo, olo+size).  Descending
-    one character updates the main interval by LF and shifts the other
-    interval by the number of smaller-character occurrences — the standard
-    2FM-index synchronisation (capability of SeqAn's bidirectional iterator,
-    22 call sites in /root/reference/src/algo.hpp).
+    The state is the interval pair in the single both-strand index: `mlo` is
+    the interval being LF-stepped (I(P) for left extension, I(rc(P)) for
+    right extension — the caller swaps), `olo` the companion's start.
 
-    Returns (new_mlo, new_size, new_olo), each [..., A].
+    Left extension of X by char d: I(dX) = C[d] + occ(d, lo..hi); the
+    companion I(rc(dX)) = I(rc(X)·comp(d)) starts at
+        olo + sent_slice + sum_{e real, e < comp(d)} occ(rc(X)e)
+    where occ(rc(X)e) = occ(comp(e)·X) = slice count of comp(e) — i.e. a
+    suffix sum of the slice's per-char counts (the sent term counts sequences
+    ending with rc(X), equivalently starting with X: sentinel hits in the
+    slice).  Right extension by candidate c is the same computation with the
+    roles swapped and the candidate axis permuted by complement.
+
+    Returns (new_mlo, new_size, new_olo), each [..., A], where slot c is the
+    result of appending candidate character c to the pattern on the requested
+    side.
     """
-    blocks = index.rev_blocks if right else index.fwd_blocks
     p = jnp.stack([mlo, mlo + size])  # one fused gather for both bounds
-    rows = jnp.take(blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
+    rows = jnp.take(index.fwd_blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
     occ, sm = _occ_smaller(rows, p, index.has_n)
-    occ_lo, sm_lo = occ[0], sm[0]
-    occ_hi, sm_hi = occ[1], sm[1]
+    occ_lo, occ_hi = occ[0], occ[1]
+    occ_sl = occ_hi - occ_lo  # per-char counts in the slice [..., A]
+    sent_sl = sm[1][..., 0] - sm[0][..., 0]  # smaller[0] == sentinel count
     A = occ_lo.shape[-1]
+
     new_mlo = index.C[:A] + occ_lo
-    new_size = occ_hi - occ_lo
-    new_olo = olo[..., None] + (sm_hi - sm_lo)
+    new_size = occ_sl
+
+    # companion offsets: suffix sums of real-char slice counts
+    o2 = occ_sl[..., 3]
+    o1 = o2 + occ_sl[..., 2]
+    o0 = o1 + occ_sl[..., 1]
+    offs = [o0, o1, o2, jnp.zeros_like(o2)]
+    if A == 5:
+        offs.append(o0 + occ_sl[..., 0])
+    new_olo = olo[..., None] + sent_sl[..., None] + jnp.stack(offs, axis=-1)
+
+    if right:
+        perm = jnp.asarray(_COMP5 if A == 5 else _COMP4)
+        new_mlo = new_mlo[..., perm]
+        new_size = new_size[..., perm]
+        new_olo = new_olo[..., perm]
     return new_mlo, new_size, new_olo
 
 
@@ -215,6 +256,7 @@ def locate(index: DeviceIndex, pos: jax.Array, valid: jax.Array) -> tuple[jax.Ar
     Equivalent to SeqAn's getOccurrences on the sampled compressed SA
     (sampling scheme of /root/reference/src/seqan_libdivsufsort.h:106-147).
     Walk length is bounded by the sampling rate.  `valid` masks garbage rows.
+    Sequence numbers are part-local (caller maps to global ids).
     """
     has_n = index.has_n
     ci = _col_icnt(has_n)

@@ -92,3 +92,26 @@ def test_sequences_shorter_than_k():
         res = eng.compute_file(layout, params, 0, 65535)
         expected = trivial_frequency(seqs, seqs, k, 0, 65535, True)
         np.testing.assert_array_equal(res.c, expected, err_msg=f"k={k} o={o}")
+
+
+@pytest.mark.parametrize("errors", [0, 2])
+def test_multipart_matches_single(errors):
+    """A forced sub-index split must produce identical frequencies (the parts
+    partition whole sequences, so per-part counts add up exactly)."""
+    rng = np.random.default_rng(900 + errors)
+    seqs = [rng.integers(0, 4, size=90, dtype=np.uint8) for _ in range(4)]
+    ff = FastaFile(name="genome.fa")
+    ff.ids = [f"seq{i}" for i in range(len(seqs))]
+    ff.seqs = seqs
+    data_one = build_index([ff], sampling=3)
+    data_split = build_index([ff], sampling=3, max_part_symbols=200)
+    assert len(data_split.parts) >= 2
+    eng1 = MappabilityEngine(data_one, batch_blocks=16)
+    eng2 = MappabilityEngine(data_split, batch_blocks=16)
+    for k, overlap in [(6, 4), (8, 6)]:
+        if overlap < errors + 1 + (errors >= 2):
+            continue
+        params = SearchParams(length=k, overlap=overlap, rev_compl=True)
+        r1 = eng1.compute_file(eng1.layouts[0], params, errors, 255)
+        r2 = eng2.compute_file(eng2.layouts[0], params, errors, 255)
+        np.testing.assert_array_equal(r1.c, r2.c, err_msg=f"k={k} e={errors}")

@@ -30,11 +30,13 @@ def _mk_files(seqs_strs, name="genome.fa"):
 def test_build_index_basic():
     data = build_index(_mk_files(["ACGTACGT", "TTTT"]), sampling=3)
     assert data.alphabet_size == 4
+    assert len(data.parts) == 1
+    part = data.parts[0]
     # both strands are indexed: 4 sequences, 24 bases, 4 sentinels
-    assert data.n_total == 2 * (8 + 4) + 4
+    assert part.n_total == 2 * (8 + 4) + 4
     # C: 4 sentinels; counts over both strands (rc adds ACGTACGT + AAAA):
     # A 2+2+4=8, C 2+2=4, G 2+2=4, T 6+2=8
-    assert list(data.C) == [4, 12, 16, 20, 28, 28]
+    assert list(part.C) == [4, 12, 16, 20, 28, 28]
     np.testing.assert_array_equal(data.decode_text(), encode_seq("ACGTACGTTTTT"))
 
 
@@ -44,8 +46,8 @@ def test_build_index_dna5_and_roundtrip(tmp_path):
     np.testing.assert_array_equal(data.decode_text(), encode_seq("ACGNNACGTNT"))
     data.save(str(tmp_path / "idx"))
     d2 = FMIndexData.load(str(tmp_path / "idx"))
-    np.testing.assert_array_equal(d2.fwd.blocks, data.fwd.blocks)
-    np.testing.assert_array_equal(d2.rev.blocks, data.rev.blocks)
+    np.testing.assert_array_equal(d2.parts[0].fwd.blocks, data.parts[0].fwd.blocks)
+    np.testing.assert_array_equal(d2.parts[0].sa_i1, data.parts[0].sa_i1)
     np.testing.assert_array_equal(d2.decode_text(), data.decode_text())
     assert d2.seq_names == ["seq0", "seq1"]
     assert list(d2.seq_lens) == [8, 3]
@@ -54,3 +56,23 @@ def test_build_index_dna5_and_roundtrip(tmp_path):
 def test_ctext_layout():
     ct = _make_ctext([encode_seq("ACG"), encode_seq("TN")])
     assert list(ct) == [1, 2, 3, 0, 4, 5, 0]
+
+
+def test_build_index_multipart_roundtrip(tmp_path):
+    """Small part limit forces a split; parts must cover all sequences and
+    survive persistence."""
+    seqs = ["ACGTACGTAC", "TTGACTGA", "GGGCATCA", "ATAT"]
+    data = build_index(_mk_files(seqs), sampling=2, max_part_symbols=30)
+    assert len(data.parts) >= 2
+    assert sum(p.nseq_part for p in data.parts) == len(seqs)
+    offs = [p.seq_off for p in data.parts]
+    assert offs == sorted(offs) and offs[0] == 0
+    for p in data.parts:
+        assert p.n_total <= 30
+    data.save(str(tmp_path / "idx"))
+    d2 = FMIndexData.load(str(tmp_path / "idx"))
+    assert len(d2.parts) == len(data.parts)
+    for a, b in zip(d2.parts, data.parts):
+        np.testing.assert_array_equal(a.fwd.blocks, b.fwd.blocks)
+        np.testing.assert_array_equal(a.C, b.C)
+        assert (a.seq_off, a.nseq_part) == (b.seq_off, b.nseq_part)

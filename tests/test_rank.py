@@ -72,16 +72,25 @@ def test_extend_all_matches_naive(seed, with_n):
     nmlo, nsize, nolo = _ext(index, False, jnp.asarray(ps), jnp.asarray(sizes), jnp.asarray(olo))
     nmlo, nsize, nolo = np.asarray(nmlo), np.asarray(nsize), np.asarray(nolo)
     A = 5 if with_n else 4
+    comp = [3, 2, 1, 0, 4]
     assert nmlo.shape == (64, A)
     for i in range(64):
         p, sz = int(ps[i]), int(sizes[i])
+        occ_sl = [
+            _naive_occ(bwt, sbits, p + sz, c) - _naive_occ(bwt, sbits, p, c)
+            for c in range(5)
+        ]
+        sent_sl = int(sbits[p : p + sz].sum())
         for c in range(A):
             occ_lo = _naive_occ(bwt, sbits, p, c)
             occ_hi = _naive_occ(bwt, sbits, p + sz, c)
-            assert nmlo[i, c] == int(data.C[c]) + occ_lo, (i, c)
+            assert nmlo[i, c] == int(data.parts[0].C[c]) + occ_lo, (i, c)
             assert nsize[i, c] == occ_hi - occ_lo, (i, c)
-            sm = _naive_smaller(bwt, sbits, p + sz, c) - _naive_smaller(bwt, sbits, p, c)
-            assert nolo[i, c] == int(olo[i]) + sm, (i, c)
+            # FMD companion update: the companion interval of rc(pattern)
+            # shifts by the sentinel hits plus the slice counts of chars
+            # whose complement sorts before comp(c) on the appended side
+            off = sent_sl + sum(occ_sl[e] for e in range(4) if comp[e] < comp[c])
+            assert nolo[i, c] == int(olo[i]) + off, (i, c)
 
 
 def _backward_search(index, data, pattern):
@@ -92,7 +101,7 @@ def _backward_search(index, data, pattern):
 
     flo = np.uint32(0)
     rlo = np.uint32(0)
-    size = np.uint32(data.n_total)
+    size = np.uint32(data.parts[0].n_total)
     for ch in pattern[::-1]:
         nmlo, nsize, nolo = _ext(
             index, False, jnp.asarray([flo]), jnp.asarray([size]), jnp.asarray([rlo])
@@ -132,7 +141,7 @@ def test_backward_search_counts(seed):
 
 @pytest.mark.parametrize("seed", [0, 5])
 def test_forward_search_matches_backward(seed):
-    """Right-extension over the rev index must give the same counts."""
+    """Right-extension (FMD on the rc interval) must give the same counts."""
     import jax.numpy as jnp
 
     from genmap_tpu.ops.rank import DeviceIndex, extend_all
@@ -151,7 +160,7 @@ def test_forward_search_matches_backward(seed):
         # forward: extend right one char at a time
         flo = np.uint32(0)
         rlo = np.uint32(0)
-        size = np.uint32(data.n_total)
+        size = np.uint32(data.parts[0].n_total)
         for ch in pat:
             nmlo, nsize, nolo = _ext(
                 index, True, jnp.asarray([rlo]), jnp.asarray([size]), jnp.asarray([flo])
