@@ -10,6 +10,9 @@ import sys
 
 
 def main(argv: list[str] | None = None) -> int:
+    from genmap_tpu.hostmem import retain_heap
+
+    retain_heap()
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "--version":
         from genmap_tpu import __version__

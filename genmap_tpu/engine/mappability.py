@@ -103,9 +103,11 @@ class MappabilityEngine:
         tiers: tuple[Tier, ...] = DEFAULT_TIERS,
         mesh=None,
         batch_kmers: int = 0,
+        dedup: bool = True,
     ):
         self.data = data
         self.batch_kmers = batch_kmers
+        self.dedup = dedup
         self.mesh = mesh
         self.indices = [DeviceIndex.from_part(data, p) for p in data.parts]
         self.batch_blocks = batch_blocks
@@ -238,15 +240,46 @@ class MappabilityEngine:
 
         progress = Progress(len(starts), file_no, total_files)
 
+        done = False
+        if (
+            self.dedup
+            and intervals is None
+            and not csv_needed
+            and nkmers >= 8192
+        ):
+            done = self._compute_with_dedup(
+                text, c, locations, layout, starts, cnts, K, o, J, errors,
+                cap, params, progress, nkmers,
+            )
+        if not done:
+            self._execute_blocks(
+                text, c, locations, layout, starts, cnts, K, o, J, errors,
+                cap, params, csv_needed, csv, progress,
+            )
+
+        progress.finish()
+        reset_limits(c, K, layout.cum_lens)
+        return FileResult(c=c, locations=locations, layout=layout)
+
+    # ------------------------------------------------------------------
+
+    def _execute_blocks(
+        self, text, c, locations, layout, starts, cnts, K, o, J, errors, cap,
+        params, csv_needed, csv, progress=None, collect_exact=None,
+    ):
+        """Run the tier-escalating batch loop over the given blocks.
+
+        `collect_exact`, if given, is (E_flo, E_size) — per-part arrays of
+        length nkmers that receive each position's zero-error SA interval
+        (used as the duplicate-class key by the dedup pass).
+        """
         pending = np.arange(len(starts))
         # size batches by k-mer count, not block count, so small stepSizes
         # still fill the device (and fewer host<->device round trips)
         B0 = max(self.batch_blocks, -(-self.batch_kmers // J))
-        # dispatch ahead of result consumption: overlaps device/RPC latency
-        # with host work (the reference's analog is OpenMP dynamic scheduling,
-        # algo.hpp:434-439)
         # bounded in-flight batches: overlaps host work with the device while
-        # staying under the remote relay's request-pipeline limit
+        # staying under the remote relay's request-pipeline limit (the
+        # reference's analog is OpenMP dynamic scheduling, algo.hpp:434-439)
         window = 4 if csv_needed else 8
         for t_i, tier in enumerate(self.tiers):
             if len(pending) == 0:
@@ -271,8 +304,18 @@ class MappabilityEngine:
                         c, locations, outs, starts[sel], cnts[sel], ~ovf, layout,
                         params, K, J, errors, cap, csv_needed, csv,
                     )
+                    if collect_exact is not None:
+                        E_flo, E_size = collect_exact
+                        for pi, out in enumerate(outs):
+                            eflo = np.asarray(out["exact_flo"])
+                            esz = np.asarray(out["exact_size_total"])
+                            for bi in np.nonzero(~ovf)[0]:
+                                s0 = int(starts[sel[bi]])
+                                cnt = int(cnts[sel[bi]])
+                                E_flo[pi][s0 : s0 + cnt] = eflo[bi, :cnt]
+                                E_size[pi][s0 : s0 + cnt] = esz[bi, :cnt]
                     still.append(sel[ovf])
-                    if t_i == 0:
+                    if t_i == 0 and progress is not None:
                         progress.add(len(sel))
                     if one:
                         break
@@ -290,9 +333,86 @@ class MappabilityEngine:
                 f"{len(pending)} blocks overflowed the largest frontier tier"
             )
 
-        progress.finish()
-        reset_limits(c, K, layout.cum_lens)
-        return FileResult(c=c, locations=locations, layout=layout)
+    # ------------------------------------------------------------------
+
+    def _compute_with_dedup(
+        self, text, c, locations, layout, starts, cnts, K, o, J, errors, cap,
+        params, progress, nkmers,
+    ) -> bool:
+        """Exact-duplicate k-mer sharing (reference trick algo.hpp:236-242,
+        389-396, re-designed for SPMD): class every k-mer by its exact string
+        identity, run the search only on blocks containing a class's first
+        occurrence, and copy class results to all duplicate positions.
+
+        Class keys: the packed k-mer value (K <= 27) or — for larger K when a
+        sample says duplicates are frequent — the zero-error SA interval
+        (flo, size) per index part from a cheap e=0 pre-pass, which uniquely
+        identifies the k-mer string among k-mers that match themselves.
+        Returns False when dedup is not worthwhile (caller runs normally).
+        """
+        if K <= 27 and nkmers <= (1 << 31):
+            keys = np.zeros(nkmers, dtype=np.uint64)
+            for i in range(K):
+                keys *= np.uint64(5)
+                keys += text[i : i + nkmers]
+            classes, inverse = np.unique(keys, return_inverse=True)
+            del keys
+        else:
+            if errors == 0:
+                return False  # the e=0 pre-pass would equal the main pass
+            if self._sampled_dup_rate(text, K, nkmers) < 0.3:
+                return False
+            P = len(self.indices)
+            E_flo = [np.zeros(nkmers, np.uint32) for _ in range(P)]
+            E_size = [np.zeros(nkmers, np.uint32) for _ in range(P)]
+            c0 = np.zeros_like(c)
+            self._execute_blocks(
+                text, c0, {}, layout, starts, cnts, K, o, J, 0, cap, params,
+                False, False, collect_exact=(E_flo, E_size),
+            )
+            key_arr = np.zeros((nkmers, 2 * P + 1), dtype=np.uint32)
+            tot = np.zeros(nkmers, np.uint64)
+            for pi in range(P):
+                key_arr[:, 2 * pi] = E_flo[pi]
+                key_arr[:, 2 * pi + 1] = E_size[pi]
+                tot += E_size[pi]
+            # k-mers that match nothing (they contain N: N matches nothing,
+            # not even N) are NOT identified by their interval; give each its
+            # own class via the extra column
+            nomatch = tot == 0
+            key_arr[nomatch, 2 * P] = np.arange(1, int(nomatch.sum()) + 1, dtype=np.uint32)
+            void = np.ascontiguousarray(key_arr).view(
+                np.dtype((np.void, key_arr.shape[1] * 4))
+            ).ravel()
+            classes, inverse = np.unique(void, return_inverse=True)
+            del key_arr, void
+
+        # first occurrence of each class (reversed write: first position wins)
+        first_occ = np.empty(len(classes), dtype=np.int64)
+        first_occ[inverse[::-1]] = np.arange(nkmers - 1, -1, -1)
+        keep = np.unique(first_occ // J)
+        if len(keep) > 0.85 * len(starts):
+            return False  # few duplicates: per-class bookkeeping not worth it
+
+        self._execute_blocks(
+            text, c, locations, layout, starts[keep], cnts[keep], K, o, J,
+            errors, cap, params, False, False, progress=None,
+        )
+        if progress is not None:
+            progress.add(len(starts))
+        # copy class results to every duplicate position
+        c[:nkmers] = c[first_occ[inverse]]
+        return True
+
+    @staticmethod
+    def _sampled_dup_rate(text, K, nkmers, sample=1 << 19) -> float:
+        rng = np.random.default_rng(12345)
+        s = min(sample, nkmers)
+        pos = rng.integers(0, nkmers, size=s)
+        win = text[pos[:, None] + np.arange(K)[None, :]]
+        nuniq = len(np.unique(np.ascontiguousarray(win).view(
+            np.dtype((np.void, K))).ravel()))
+        return 1.0 - nuniq / s
 
     # ------------------------------------------------------------------
 

@@ -114,6 +114,10 @@ def _build_part(
     """Build one FMD sub-index over seqs + their reverse complements."""
     from genmap_tpu.alphabet import revcomp_codes
 
+    from genmap_tpu.hostmem import retain_heap
+
+    retain_heap()
+
     nseq_g = len(seqs)
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
     all_lens = np.concatenate([lens, lens])
@@ -128,6 +132,12 @@ def _build_part(
 
     starts = np.zeros(nseq_all + 1, dtype=np.int64)  # ctext start of each sequence
     starts[1:] = np.cumsum(all_lens + 1)
+    # match dtypes to the SA's: mixed-dtype searchsorted/arithmetic hits slow
+    # numpy paths and spawns wide temporaries (costly on this host, see
+    # hostmem.py)
+    sd = sa.dtype
+    starts_c = starts.astype(sd)
+    all_lens_c = all_lens.astype(sd)
 
     bwt = np.empty(n, dtype=np.uint8)
     sbits = np.empty(n, dtype=bool)
@@ -138,17 +148,18 @@ def _build_part(
     for c0 in range(0, n, _CHUNK):
         c1 = min(c0 + _CHUNK, n)
         sac = sa[c0:c1]
-        prev = np.where(sac > 0, sac - 1, np.int64(n - 1)).astype(np.int64)
+        prev = sac - sd.type(1)  # wraps at 0; fixed up next line
+        prev[sac == 0] = sd.type(n - 1)
         bwt_c = ctext[prev]
         sb = bwt_c == 0
         bwt[c0:c1] = np.where(sb, 0, bwt_c - 1)
         sbits[c0:c1] = sb
         char_counts += np.bincount(bwt_c, minlength=6).astype(np.uint64)
 
-        i1 = np.searchsorted(starts, sac, side="right") - 1
-        i2 = sac.astype(np.int64) - starts[i1]
-        is_sent = i2 == all_lens[np.minimum(i1, nseq_all - 1)]
-        indc = (~is_sent) & (i2 % sampling == 0)
+        i1 = np.searchsorted(starts_c, sac, side="right") - 1
+        i2 = sac - starts_c[i1]
+        is_sent = i2 == all_lens_c[np.minimum(i1, nseq_all - 1)]
+        indc = (~is_sent) & (i2 % sd.type(sampling) == 0)
         ind[c0:c1] = indc
         n_sampled += int(indc.sum())
         strand_bits[c0:c1] = i1 >= nseq_g
@@ -161,8 +172,8 @@ def _build_part(
         c1 = min(c0 + _CHUNK, n)
         indc = ind[c0:c1]
         sac = sa[c0:c1][indc]
-        i1 = np.searchsorted(starts, sac, side="right") - 1
-        i2 = sac.astype(np.int64) - starts[i1]
+        i1 = np.searchsorted(starts_c, sac, side="right") - 1
+        i2 = sac - starts_c[i1]
         m = len(sac)
         sa_i1[w : w + m] = i1.astype(np.uint32)
         sa_i2[w : w + m] = i2.astype(np.uint32)

@@ -25,27 +25,9 @@
 #include <limits>
 #include <vector>
 
-#if defined(__linux__)
-#include <sys/mman.h>
-#endif
-
 namespace {
 
 constexpr int PF = 48;  // prefetch distance (iterations)
-
-// Ask the kernel to back a large buffer with huge pages (reduces TLB misses,
-// which dominate the random-access induce passes at multi-GB sizes; the
-// container runs THP in madvise mode).  Best effort, any failure is ignored.
-void advise_huge(void* p, size_t bytes) {
-#if defined(__linux__) && defined(MADV_HUGEPAGE)
-    const size_t page = 1 << 21;  // 2 MB
-    uintptr_t lo = (reinterpret_cast<uintptr_t>(p) + page - 1) & ~(page - 1);
-    uintptr_t hi = (reinterpret_cast<uintptr_t>(p) + bytes) & ~(page - 1);
-    if (hi > lo) madvise(reinterpret_cast<void*>(lo), hi - lo, MADV_HUGEPAGE);
-#else
-    (void)p; (void)bytes;
-#endif
-}
 
 // Build the fused text TT[i] = T[i]*2 + t[i] (t: 1 = S-type, 0 = L-type).
 // C is the input character type (uint8_t at the top level, I at recursion
@@ -178,7 +160,6 @@ void sais_fused(const F* TT, I* SA, I n, size_t K2) {
         // fuse the reduced string (fused values 2*name+1 <= n < EMPTY fit in
         // the index type, which recursion levels use as the character type)
         std::vector<I> TT1(n1);
-        advise_huge(TT1.data(), sizeof(I) * static_cast<size_t>(n1));
         build_fused<I, I, I>(s1, TT1.data(), n1);
         sais_fused<I, I>(TT1.data(), SA1, n1, static_cast<size_t>(name) * 2);
     } else {
@@ -209,8 +190,6 @@ int sais_entry(const uint8_t* T, I* SA, I n, I K) {
     if (n <= 0 || K < 0 || K > 254) return -1;
     if (n == 1) { SA[0] = 0; return 0; }
     std::vector<uint8_t> TT(static_cast<size_t>(n));
-    advise_huge(TT.data(), static_cast<size_t>(n));
-    advise_huge(SA, sizeof(I) * static_cast<size_t>(n));
     build_fused<uint8_t, uint8_t, I>(T, TT.data(), n);
     sais_fused<uint8_t, I>(TT.data(), SA, n, (static_cast<size_t>(K) + 1) * 2);
     return 0;
@@ -221,8 +200,6 @@ int sais_entry_u32(const uint8_t* T, uint32_t* SA, uint64_t n, uint32_t K) {
     if (n == 0 || K > 254 || n >= std::numeric_limits<uint32_t>::max()) return -1;
     if (n == 1) { SA[0] = 0; return 0; }
     std::vector<uint8_t> TT(static_cast<size_t>(n));
-    advise_huge(TT.data(), static_cast<size_t>(n));
-    advise_huge(SA, sizeof(uint32_t) * static_cast<size_t>(n));
     build_fused<uint8_t, uint8_t, uint32_t>(T, TT.data(), static_cast<uint32_t>(n));
     sais_fused<uint8_t, uint32_t>(
         TT.data(), SA, static_cast<uint32_t>(n), (static_cast<size_t>(K) + 1) * 2);

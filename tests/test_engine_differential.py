@@ -115,3 +115,28 @@ def test_multipart_matches_single(errors):
         r1 = eng1.compute_file(eng1.layouts[0], params, errors, 255)
         r2 = eng2.compute_file(eng2.layouts[0], params, errors, 255)
         np.testing.assert_array_equal(r1.c, r2.c, err_msg=f"k={k} e={errors}")
+
+
+@pytest.mark.parametrize("ke", [(8, 0, 8), (12, 1, 10), (30, 2, 27)])
+def test_dedup_matches_normal(ke):
+    """The same-kmer dedup pass (value keys for K<=27, e=0-interval keys
+    beyond) must be invisible in the results (reference trick
+    algo.hpp:236-242, 389-396)."""
+    K, e, o = ke
+    rng = np.random.default_rng(7)
+    unit = rng.integers(0, 5, size=40, dtype=np.uint8)  # Dna5 incl. N
+    chunks = []
+    for _ in range(4):
+        chunks.append(np.tile(unit, 30))
+        chunks.append(rng.integers(0, 4, size=400, dtype=np.uint8))
+    seq = np.concatenate(chunks)
+    ff = FastaFile(name="g.fa")
+    ff.ids = ["chr1"]
+    ff.seqs = [seq]
+    data = build_index([ff], sampling=3)
+    params = SearchParams(length=K, overlap=o, rev_compl=True)
+    eng_d = MappabilityEngine(data, batch_blocks=64)
+    eng_n = MappabilityEngine(data, batch_blocks=64, dedup=False)
+    rd = eng_d.compute_file(eng_d.layouts[0], params, e, 255)
+    rn = eng_n.compute_file(eng_n.layouts[0], params, e, 255)
+    np.testing.assert_array_equal(rd.c, rn.c)
