@@ -52,7 +52,7 @@ def main() -> None:
 
     genome_mb = 8
     K, errors = 100, 2
-    B = 1024
+    B = 4096
     NB = 40  # in-graph batches per timed dispatch
 
     try:
@@ -85,9 +85,10 @@ def main() -> None:
     run = eng._runner(0, K, errors, o, J, B, tier, 65535, True, False)
     text = eng.text[layout.start : layout.start + layout.length]
 
-    # build NB+1 batches of adjacent-k-mer blocks (the +1 is the warmup batch)
+    # build NB+1 batches of adjacent-k-mer blocks (the +1 is the warmup
+    # batch); block starts wrap modulo the genome when NB*B*J exceeds it
     Ln = K + J - 1
-    starts = np.arange(0, (NB + 1) * B * J, J, dtype=np.int64)
+    starts = np.arange(0, (NB + 1) * B * J, J, dtype=np.int64) % (len(text) - Ln)
     idx = starts[:, None] + np.arange(Ln)[None, :]
     needles_all = np.ascontiguousarray(text[idx]).reshape(NB + 1, B, Ln)
     cnts_all = np.full((NB + 1, B), J, dtype=np.int32)

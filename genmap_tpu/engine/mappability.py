@@ -499,38 +499,42 @@ class MappabilityEngine:
         """
         per_kmer: dict[tuple[int, int], dict] = {}
         nb = len(bstarts)
+        J = per_part[0][2][1].shape[1] if per_part else 0
+        jmask = (np.arange(J)[None, :] < np.asarray(bcnts)[:, None]) & np.asarray(ok)[:, None]
         for pi, (exact_size_total, exact_flo, states) in enumerate(per_part):
             flo, size, err, valid = states
-            # collect all SA rows of this part to locate in one go
-            jobs: list[tuple] = []  # (kind, b, j, row_offset, count)
-            rows: list[np.ndarray] = []
+            # vectorized job collection (the B x J x F python loop was the
+            # scale-hostile path flagged in round 1): one nonzero() per kind,
+            # SA row ranges built with repeat/arange arithmetic
+            vm = valid[:nb] & (size[:nb] > 0) & jmask[:, :, None]
+            bs, js, fs = np.nonzero(vm)
+            szs = size[:nb][bs, js, fs].astype(np.int64)
+            flos = flo[:nb][bs, js, fs].astype(np.int64)
 
-            def push(lo, n):
-                rows.append(np.arange(lo, lo + n, dtype=np.int64))
+            em = jmask & (exact_size[:nb] > 1) & (exact_size_total[:nb] > 0)
+            ebs, ejs = np.nonzero(em)
+            eszs = exact_size_total[:nb][ebs, ejs].astype(np.int64)
+            eflos = exact_flo[:nb][ebs, ejs].astype(np.int64)
 
-            for b in range(nb):
-                if not ok[b]:
-                    continue
-                cnt = int(bcnts[b])
-                for j in range(cnt):
-                    for f in np.nonzero(valid[b, j])[0]:
-                        n = int(size[b, j, f])
-                        if n:
-                            jobs.append(("all", b, j, sum(map(len, rows)), n))
-                            push(int(flo[b, j, f]), n)
-                    if int(exact_size[b, j]) > 1:
-                        et = int(exact_size_total[b, j])
-                        if et:
-                            jobs.append(("exact", b, j, sum(map(len, rows)), et))
-                            push(int(exact_flo[b, j]), et)
-
-            if not jobs:
+            all_sizes = np.concatenate([szs, eszs])
+            all_flos = np.concatenate([flos, eflos])
+            if len(all_sizes) == 0:
                 continue
-            all_rows = np.concatenate(rows)
+            total = int(all_sizes.sum())
+            offs = np.zeros(len(all_sizes), np.int64)
+            np.cumsum(all_sizes[:-1], out=offs[1:])
+            all_rows = np.repeat(all_flos - offs, all_sizes) + np.arange(total)
             i1, i2 = self.locate_many(pi, all_rows)
 
-            for kind, b, j, off, n in jobs:
-                d = per_kmer.setdefault((b, j), {"all": [], "exact": []})
+            kinds = ["all"] * len(bs) + ["exact"] * len(ebs)
+            for kind, b, j, off, n in zip(
+                kinds,
+                np.concatenate([bs, ebs]),
+                np.concatenate([js, ejs]),
+                offs,
+                all_sizes,
+            ):
+                d = per_kmer.setdefault((int(b), int(j)), {"all": [], "exact": []})
                 d[kind].append((i1[off : off + n], i2[off : off + n]))
 
         directory = self.data.directory

@@ -183,6 +183,30 @@ def extend_all(
     result of appending candidate character c to the pattern on the requested
     side.
     """
+    new_mlo, new_size, new_olo = extend_core(index, mlo, size, olo)
+    if right:
+        A = new_mlo.shape[-1]
+        perm = jnp.asarray(_COMP5 if A == 5 else _COMP4)
+        new_mlo = new_mlo[..., perm]
+        new_size = new_size[..., perm]
+        new_olo = new_olo[..., perm]
+    return new_mlo, new_size, new_olo
+
+
+def extend_core(
+    index: DeviceIndex,
+    mlo: jax.Array,
+    size: jax.Array,
+    olo: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Direction-agnostic FMD extension core (left-extension semantics).
+
+    Returns per-DESCENDED-char results; a right extension is obtained by
+    feeding the rc-side interval as `mlo` and permuting the candidate axis by
+    complement (see extend_all).  Exposed separately so mixed-direction
+    lockstep steps can share ONE row gather: in FMD both directions read the
+    same table, the direction only changes this cheap post-processing.
+    """
     p = jnp.stack([mlo, mlo + size])  # one fused gather for both bounds
     rows = jnp.take(index.fwd_blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
     occ, sm = _occ_smaller(rows, p, index.has_n)
@@ -202,13 +226,12 @@ def extend_all(
     if A == 5:
         offs.append(o0 + occ_sl[..., 0])
     new_olo = olo[..., None] + sent_sl[..., None] + jnp.stack(offs, axis=-1)
-
-    if right:
-        perm = jnp.asarray(_COMP5 if A == 5 else _COMP4)
-        new_mlo = new_mlo[..., perm]
-        new_size = new_size[..., perm]
-        new_olo = new_olo[..., perm]
     return new_mlo, new_size, new_olo
+
+
+def comp_perm(A: int) -> np.ndarray:
+    """Complement permutation over the candidate-character axis."""
+    return _COMP5 if A == 5 else _COMP4
 
 
 def rc_strand_count(index: DeviceIndex, p: jax.Array) -> jax.Array:

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from genmap_tpu.ops.rank import DeviceIndex, extend_all
-from genmap_tpu.search.schemes import SearchPlan, plans_for
+from genmap_tpu.search.schemes import plans_for
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -59,36 +59,35 @@ DEFAULT_TIERS = (
 def _compact(arrays, valid, F):
     """Keep (up to) F valid states; returns (arrays, valid, overflowed).
 
-    Order-free compaction via prefix-sum + scatter (hit order never matters:
-    counts are saturating sums).  This compiles and runs far cheaper on TPU
-    than a sort/top_k (sorts dominated the Mosaic compile time).
+    Order-free compaction (hit order never matters: counts are saturating
+    sums) via prefix-sum ranks and one-hot masked SUMS — all dense VPU work.
+    Scatter (round 1) and sort/top_k lower to serialized/slow TPU code;
+    the [..., F, M] one-hot products stay small because F and M are small.
     """
     M = valid.shape[-1]
-    lead = valid.shape[:-1]
     nvalid = valid.sum(axis=-1, dtype=_I32)
     if F == 1:
-        # fast path: select the first valid candidate (argmax of bool)
-        first = jnp.argmax(valid, axis=-1)[..., None]
-        found = valid.any(axis=-1, keepdims=True)
+        # select the first valid candidate via a one-hot sum
+        first = jnp.argmax(valid, axis=-1)
+        onehot = jax.nn.one_hot(first, M, dtype=_U32) * valid.any(
+            axis=-1, keepdims=True
+        ).astype(_U32)
         out = tuple(
-            jnp.where(found, jnp.take_along_axis(a, first, axis=-1), 0)
+            (a.astype(_U32) * onehot).sum(axis=-1, dtype=_U32)[..., None].astype(a.dtype)
             for a in arrays
         )
-        return out, found, nvalid > 1
+        return out, valid.any(axis=-1, keepdims=True), nvalid > 1
     idx = jnp.cumsum(valid, axis=-1, dtype=_I32) - 1
-    dest = jnp.where(valid & (idx < F), idx, F)
-    R = int(np.prod(lead)) if lead else 1
-    dest2 = dest.reshape(R, M)
-    rows = jnp.arange(R, dtype=_I32)[:, None]
-    out = []
-    for a in arrays:
-        buf = jnp.zeros((R, F + 1), a.dtype)
-        buf = buf.at[rows, dest2].set(a.reshape(R, M), mode="drop")
-        out.append(buf[:, :F].reshape(lead + (F,)))
-    out_valid = jnp.arange(F, dtype=_I32)[None, :] < nvalid.reshape(R, 1)
-    out_valid = out_valid.reshape(lead + (F,))
+    dest = jnp.where(valid, idx, M + 1)  # [..., M] rank of each valid entry
+    # one-hot [..., F, M]: slot s takes the candidate ranked s
+    onehot = (dest[..., None, :] == jnp.arange(F, dtype=_I32)[:, None]).astype(_U32)
+    out = tuple(
+        (a.astype(_U32)[..., None, :] * onehot).sum(axis=-1, dtype=_U32).astype(a.dtype)
+        for a in arrays
+    )
+    out_valid = jnp.arange(F, dtype=_I32) < nvalid[..., None]
     overflow = nvalid > F
-    return tuple(out), out_valid, overflow
+    return out, out_valid, overflow
 
 
 def _candidate_step(index, right, flo, rlo, size, err, valid, nch, e_or_u, lreq):
@@ -111,95 +110,145 @@ def _candidate_step(index, right, flo, rlo, size, err, valid, nch, e_or_u, lreq)
     return nflo, nrlo, nsize, err2, valid2
 
 
+def _candidate_step_dir(index, rightv, flo, rlo, size, err, valid, nch, e_or_u, lreq):
+    """Mixed-direction candidate step: `rightv` is a per-state bool (or
+    broadcastable) choosing the extension side.
+
+    Both directions read the SAME FMD table (ops/rank.py), so one row gather
+    serves every state regardless of direction — this is what lets left- and
+    right-moving lanes run in the same lockstep step (balanced schedules cut
+    the step count ~2-3x; each step's cost is gather-latency-bound).
+    """
+    from genmap_tpu.ops.rank import comp_perm, extend_core
+
+    mlo = jnp.where(rightv, rlo, flo)
+    olo = jnp.where(rightv, flo, rlo)
+    nmlo, nsize, nolo = extend_core(index, mlo, size, olo)
+    A = nmlo.shape[-1]
+    perm = jnp.asarray(comp_perm(A))
+    rb = rightv[..., None]
+    nflo = jnp.where(rb, nolo[..., perm], nmlo)
+    nrlo = jnp.where(rb, nmlo[..., perm], nolo)
+    nsz = jnp.where(rb, nsize[..., perm], nsize)
+    cand = jnp.arange(A, dtype=_U32)
+    cshape = (1,) * (nch.ndim) + (A,)
+    delta = (cand.reshape(cshape) != nch[..., None]) | (nch[..., None] == 4)
+    err2 = err[..., None] + delta.astype(_I32)
+    valid2 = valid[..., None] & (err2 <= e_or_u) & (err2 >= lreq) & (nsz > 0)
+    return nflo, nrlo, nsz, err2, valid2
+
+
 def _flatten2(x):
     return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
 
 
-def _run_search_plan(index, plan: SearchPlan, infix_off: int, needles, B, F, n_total):
-    """Run one search plan over a batch of needle infixes.
+def _plan_schedule(plans, infix_off):
+    """Stack all plans' step lists into [T, P] schedule arrays.
 
-    Returns survivors (flo, rlo, size, err, valid) [B, F] and overflow [B].
+    Every optimal-search-scheme plan consumes exactly the needle length, so
+    T equals the infix length with no padding; all plans advance in lockstep
+    within ONE scan (they are independent chains — running them as lanes of
+    the same step hides each other's gather latency instead of serializing
+    three scans back to back).
     """
-    flo = jnp.zeros((B, F), _U32)
-    rlo = jnp.zeros((B, F), _U32)
-    size = jnp.zeros((B, F), _U32).at[:, 0].set(_U32(n_total))
-    err = jnp.zeros((B, F), _I32)
-    valid = jnp.zeros((B, F), bool).at[:, 0].set(True)
-    ovf = jnp.zeros((B,), bool)
-
-    for seg in plan.segments:
-        xs = (
-            jnp.asarray(seg.pos + infix_off),
-            jnp.asarray(seg.u),
-            jnp.asarray(seg.lreq),
-        )
-
-        def body(carry, x, right=seg.right):
-            flo, rlo, size, err, valid, ovf = carry
-            pos, u, lreq = x
-            nch = needles[:, pos].astype(_U32)  # [B]
-            nflo, nrlo, nsize, err2, valid2 = _candidate_step(
-                index, right, flo, rlo, size, err, valid, nch[:, None], u, lreq
-            )
-            arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
-            v = _flatten2(valid2)
-            (flo, rlo, size, err), valid, of = _compact(arrays, v, F)
-            return (flo, rlo, size, err, valid, ovf | of), None
-
-        (flo, rlo, size, err, valid, ovf), _ = jax.lax.scan(
-            body, (flo, rlo, size, err, valid, ovf), xs
-        )
-    return (flo, rlo, size, err, valid), ovf
+    T = plans[0].n_steps
+    P = len(plans)
+    pos = np.zeros((T, P), np.int32)
+    right = np.zeros((T, P), bool)
+    u = np.zeros((T, P), np.int32)
+    lreq = np.zeros((T, P), np.int32)
+    for p, plan in enumerate(plans):
+        t = 0
+        for seg in plan.segments:
+            n = len(seg.pos)
+            pos[t : t + n, p] = seg.pos + infix_off
+            right[t : t + n, p] = seg.right
+            u[t : t + n, p] = seg.u
+            lreq[t : t + n, p] = seg.lreq
+            t += n
+        assert t == T
+    return pos, right, u, lreq
 
 
 def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total):
-    """All search schemes; survivors merged into a [B, f_collect] frontier."""
-    Fc = tier.f_collect
-    c_flo = jnp.zeros((B, Fc), _U32)
-    c_rlo = jnp.zeros((B, Fc), _U32)
-    c_size = jnp.zeros((B, Fc), _U32)
-    c_err = jnp.zeros((B, Fc), _I32)
-    c_valid = jnp.zeros((B, Fc), bool)
+    """All search schemes in one lockstep scan; survivors in [B, f_collect]."""
+    F = tier.f_search
+    P = len(plans)
+    pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
+
+    flo = jnp.zeros((B, P, F), _U32)
+    rlo = jnp.zeros((B, P, F), _U32)
+    size = jnp.zeros((B, P, F), _U32).at[:, :, 0].set(_U32(n_total))
+    err = jnp.zeros((B, P, F), _I32)
+    valid = jnp.zeros((B, P, F), bool).at[:, :, 0].set(True)
     ovf = jnp.zeros((B,), bool)
 
-    for plan in plans:
-        (flo, rlo, size, err, valid), of = _run_search_plan(
-            index, plan, infix_off, needles, B, tier.f_search, n_total
+    xs = (
+        jnp.asarray(pos_s),
+        jnp.asarray(right_s),
+        jnp.asarray(u_s),
+        jnp.asarray(lreq_s),
+    )
+
+    def body(carry, x):
+        flo, rlo, size, err, valid, ovf = carry
+        pos, rightv, u, lreq = x  # [P] each
+        nch = needles[:, pos].astype(_U32)  # [B, P]
+        nflo, nrlo, nsize, err2, valid2 = _candidate_step_dir(
+            index,
+            rightv[:, None],
+            flo,
+            rlo,
+            size,
+            err,
+            valid,
+            nch[:, :, None],
+            u[:, None, None],
+            lreq[:, None, None],
         )
-        ovf = ovf | of
-        arrays = (
-            jnp.concatenate([c_flo, flo], axis=-1),
-            jnp.concatenate([c_rlo, rlo], axis=-1),
-            jnp.concatenate([c_size, size], axis=-1),
-            jnp.concatenate([c_err, err], axis=-1),
-        )
-        v = jnp.concatenate([c_valid, valid], axis=-1)
-        (c_flo, c_rlo, c_size, c_err), c_valid, of2 = _compact(arrays, v, Fc)
-        ovf = ovf | of2
+        arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
+        v = _flatten2(valid2)
+        (flo, rlo, size, err), valid, of = _compact(arrays, v, F)
+        return (flo, rlo, size, err, valid, ovf | of.any(axis=-1)), None
+
+    (flo, rlo, size, err, valid, ovf), _ = jax.lax.scan(
+        body, (flo, rlo, size, err, valid, ovf), xs
+    )
+
+    # merge plan lanes into the collection frontier
+    Fc = tier.f_collect
+    arrays = tuple(a.reshape(B, P * F) for a in (flo, rlo, size, err))
+    (c_flo, c_rlo, c_size, c_err), c_valid, of2 = _compact(
+        arrays, valid.reshape(B, P * F), Fc
+    )
+    ovf = ovf | of2
     return (c_flo, c_rlo, c_size, c_err, c_valid), ovf
 
 
-def _ext_phase(index, state, needles, pos_arr, act_arr, right, Fe, errors):
-    """One uniform-direction extension scan over a [B, M, Fe] frontier.
+def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors):
+    """One mixed-direction extension scan over a [B, M, Fe] frontier.
 
-    pos_arr: [T] or [T, M] static needle positions per step;
-    act_arr:  [T, M] static activity mask (inactive slots pass through).
+    pos_arr / right_arr / act_arr: [T, M] static needle position, direction
+    and activity per (step, slot).  Slots may move in different directions in
+    the same step (one shared gather, see _candidate_step_dir); inactive
+    slots pass through.
     """
     flo, rlo, size, err, valid, ovf = state
     if len(pos_arr) == 0:
         return state
-    xs = (jnp.asarray(pos_arr, _I32), jnp.asarray(act_arr))
-    per_m = pos_arr.ndim == 2
+    xs = (
+        jnp.asarray(pos_arr, _I32),
+        jnp.asarray(right_arr),
+        jnp.asarray(act_arr),
+    )
 
     def body(carry, x):
         flo, rlo, size, err, valid, ovf = carry
-        pos, act = x  # pos: [] or [M]; act: [M]
-        if per_m:
-            nch = needles[:, pos].astype(_U32)[:, :, None]  # [B, M, 1]
-        else:
-            nch = needles[:, pos].astype(_U32)[:, None, None]  # [B, 1, 1]
-        nflo, nrlo, nsize, err2, valid2 = _candidate_step(
-            index, right, flo, rlo, size, err, valid, nch, errors, 0
+        pos, rightv, act = x  # [M] each
+        nch = needles[:, pos].astype(_U32)[:, :, None]  # [B, M, 1]
+        nflo, nrlo, nsize, err2, valid2 = _candidate_step_dir(
+            index, rightv[None, :, None], flo, rlo, size, err, valid, nch,
+            errors, 0,
         )
         A = nflo.shape[-1]
         actb = act[None, :, None, None]
@@ -219,6 +268,32 @@ def _ext_phase(index, state, needles, pos_arr, act_arr, right, Fe, errors):
     return state
 
 
+def _balanced_schedule(n_right, n_left, pos_right, pos_left):
+    """[T, M] (pos, right, act) arrays: slot m does its n_right[m] right
+    steps then its n_left[m] left steps, all slots in lockstep.
+
+    pos_right[m][t] / pos_left[m][t] give the needle position of slot m's
+    t-th step in that direction.  The per-slot totals are (near-)equal by
+    construction of the k-mer block geometry, so the merged timeline is
+    ~half the length of a right-phase-then-left-phase schedule.
+    """
+    M = len(n_right)
+    T = int(max(int(n_right[m] + n_left[m]) for m in range(M)) if M else 0)
+    pos = np.zeros((T, M), np.int32)
+    right = np.zeros((T, M), bool)
+    act = np.zeros((T, M), bool)
+    for m in range(M):
+        nr, nl = int(n_right[m]), int(n_left[m])
+        for t in range(nr):
+            pos[t, m] = pos_right[m][t]
+            right[t, m] = True
+            act[t, m] = True
+        for t in range(nl):
+            pos[nr + t, m] = pos_left[m][t]
+            act[nr + t, m] = True
+    return pos, right, act
+
+
 def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors,
                      group: int | None = None):
     """Extend infix survivors to every k-mer window of each block.
@@ -228,8 +303,8 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors,
     the lockstep counterpart of the reference's doubling extension
     (algo.hpp:26-218): first extend the infix state to the common span of
     each GROUP of g adjacent k-mers ([chi-1, clo+K) for group [clo, chi)),
-    then from each group state to the individual windows.  This cuts
-    state-steps per block from ~2(J-1)*J to ~2(J-g)*J/g + 2(g-1)*J.
+    then from each group state to the individual windows.  Each phase runs
+    right- and left-moving slots in the same balanced scan.
     """
     Fe = tier.f_extend
     s_flo, s_rlo, s_size, s_err, s_valid = survivors
@@ -255,16 +330,14 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors,
             broadcast_m(r_flo, G), broadcast_m(r_rlo, G), broadcast_m(r_size, G),
             broadcast_m(r_err, G), broadcast_m(r_valid, G), ovf0,
         )
-        # right: consume needle positions K .. clo+K-1
-        T = int(clo_g.max())
-        pos = K + np.arange(T)
-        act = np.arange(T)[:, None] < clo_g[None, :]
-        state = _ext_phase(index, state, needles, pos, act, True, Fe, errors)
-        # left: consume positions J-2 down to chi-1
-        T = int((J - chi_g).max())
-        pos = (J - 2) - np.arange(T)
-        act = np.arange(T)[:, None] < (J - chi_g)[None, :]
-        state = _ext_phase(index, state, needles, pos, act, False, Fe, errors)
+        # group gi: right chars K .. clo+K-1, left chars J-2 down to chi-1
+        pos, right, act = _balanced_schedule(
+            clo_g,
+            J - chi_g,
+            [[K + t for t in range(int(c))] for c in clo_g],
+            [[J - 2 - t for t in range(int(J - ch))] for ch in chi_g],
+        )
+        state = _ext_phase(index, state, needles, pos, right, act, Fe, errors)
         flo, rlo, size, err, valid, ovf = state
         jmap = jnp.asarray(np.arange(J) // g, dtype=_I32)
         state = tuple(jnp.take(a, jmap, axis=1) for a in (flo, rlo, size, err, valid))
@@ -277,20 +350,15 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors,
 
     jj = np.arange(J)
     clo_j, chi_j = (jj // g) * g, np.minimum((jj // g) * g + g, J)
-    # right: kmer j consumes clo_j+K .. j+K-1
-    T = int((jj - clo_j).max()) if J > 1 else 0
-    if T > 0:
-        pos = clo_j[None, :] + K + np.arange(T)[:, None]  # [T, J]
-        act = np.arange(T)[:, None] < (jj - clo_j)[None, :]
-        pos = np.where(act, pos, 0)
-        state = _ext_phase(index, state, needles, pos, act, True, Fe, errors)
-    # left: kmer j consumes chi_j-2 down to j
-    T = int((chi_j - 1 - jj).max()) if J > 1 else 0
-    if T > 0:
-        pos = chi_j[None, :] - 2 - np.arange(T)[:, None]
-        act = np.arange(T)[:, None] < (chi_j - 1 - jj)[None, :]
-        pos = np.where(act, pos, 0)
-        state = _ext_phase(index, state, needles, pos, act, False, Fe, errors)
+    # kmer j: right chars clo_j+K .. j+K-1, left chars chi_j-2 down to j
+    pos, right, act = _balanced_schedule(
+        jj - clo_j,
+        chi_j - 1 - jj,
+        [[int(c) + K + t for t in range(int(n))] for c, n in zip(clo_j, jj - clo_j)],
+        [[int(ch) - 2 - t for t in range(int(n))] for ch, n in zip(chi_j, chi_j - 1 - jj)],
+    )
+    if len(pos):
+        state = _ext_phase(index, state, needles, pos, right, act, Fe, errors)
 
     flo, rlo, size, err, valid, ovf = state
     return (flo, rlo, size, err, valid), ovf
