@@ -26,6 +26,7 @@ stand-in denominator until a direct CPU measurement lands.
 
 from __future__ import annotations
 
+import os
 import json
 import sys
 import time
@@ -52,8 +53,8 @@ def main() -> None:
 
     genome_mb = 8
     K, errors = 100, 2
-    B = 4096
-    NB = 40  # in-graph batches per timed dispatch
+    B = 16384
+    NB = 10  # in-graph batches per timed dispatch
 
     try:
         from genmap_tpu.native.sais import ensure_native
@@ -85,18 +86,21 @@ def main() -> None:
     run = eng._runner(0, K, errors, o, J, B, tier, 65535, True, False)
     text = eng.text[layout.start : layout.start + layout.length]
 
-    # build NB+1 batches of adjacent-k-mer blocks (the +1 is the warmup
-    # batch); block starts wrap modulo the genome when NB*B*J exceeds it
+    # build NB+1 batches of adjacent-k-mer block STARTS (the +1 is the
+    # warmup batch); needles are extracted on device from the packed text,
+    # so only these uint32 starts cross the host->device link.  Starts wrap
+    # modulo the genome when NB*B*J exceeds it.
     Ln = K + J - 1
-    starts = np.arange(0, (NB + 1) * B * J, J, dtype=np.int64) % (len(text) - Ln)
-    idx = starts[:, None] + np.arange(Ln)[None, :]
-    needles_all = np.ascontiguousarray(text[idx]).reshape(NB + 1, B, Ln)
+    starts_all = (
+        np.arange(0, (NB + 1) * B * J, J, dtype=np.int64) % (len(text) - Ln)
+    ).astype(np.uint32).reshape(NB + 1, B)
     cnts_all = np.full((NB + 1, B), J, dtype=np.int32)
+    limit = np.uint32(len(text))
 
-    def many(needles, cnts):
+    def many(starts, cnts):
         def step(acc, x):
-            nd, ct = x
-            out = run(nd, ct)
+            st, ct = x
+            out = run(st, ct, limit)
             return (
                 acc
                 + out["hits"].sum(dtype=jnp.uint32)
@@ -104,14 +108,14 @@ def main() -> None:
                 None,
             )
 
-        acc, _ = jax.lax.scan(step, jnp.uint32(0), (needles, cnts))
+        acc, _ = jax.lax.scan(step, jnp.uint32(0), (starts, cnts))
         return acc
 
     many_jit = jax.jit(many)
 
     # compile + warmup on one batch
     t0 = time.time()
-    d_needles = jax.device_put(needles_all[:1])
+    d_needles = jax.device_put(starts_all[:1])
     d_cnts = jax.device_put(cnts_all[:1])
     w = int(many_jit(d_needles, d_cnts))
     print(f"# compile+warmup: {time.time() - t0:.1f}s (checksum {w})", file=sys.stderr)
@@ -119,7 +123,7 @@ def main() -> None:
     # timed: one dispatch over NB in-graph batches; best of 3 repetitions
     # (the tunneled chip is time-shared — contended reps understate the
     # device's steady-state rate, so the max over reps is the honest number)
-    d_needles = jax.device_put(needles_all[1:])
+    d_needles = jax.device_put(starts_all[1:])
     d_cnts = jax.device_put(cnts_all[1:])
     jax.block_until_ready(d_needles)
     kmers = NB * B * J
@@ -132,6 +136,27 @@ def main() -> None:
         print(f"# rep {rep}: {kmers} kmers in {dt:.2f}s (checksum {checksum})",
               file=sys.stderr)
     rate = kmers / best
+
+    # secondary: the reference's benchmark configs of record
+    # (/root/reference/benchmarks/bench.sh:35-43 runs (5,0), (6,0) and
+    # (101,0..4); tests/bowtie-test.sh uses (20,1)) — measured END-TO-END
+    # through the engine (host orchestration + tier escalation + dedup), not
+    # just the steady-state kernel
+    if os.environ.get("GENMAP_BENCH_CONFIGS", "1") != "0":
+        nkmers = layout.length - 1
+        for Ks, Es in [(5, 0), (6, 0), (20, 1), (101, 0), (101, 1), (101, 2),
+                       (101, 4)]:
+            try:
+                xs = min(default_overlap(Ks, Es), Ks - 1, Ks - Es - 2)
+                ps = SearchParams(length=Ks, overlap=Ks - xs, rev_compl=True)
+                t0 = time.time()
+                eng.compute_file(layout, ps, Es, 65535)
+                dt = time.time() - t0
+                nk = layout.length - Ks + 1
+                print(f"# config ({Ks},{Es}): {nk} kmers end-to-end in "
+                      f"{dt:.1f}s -> {nk / dt:,.0f} kmers/s", file=sys.stderr)
+            except Exception as e:
+                print(f"# config ({Ks},{Es}): FAILED {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "kmer_queries_per_sec_chip_K100_E2",

@@ -13,6 +13,9 @@ def main(argv: list[str] | None = None) -> int:
     from genmap_tpu.hostmem import retain_heap
 
     retain_heap()
+    from genmap_tpu.parallel.dist import maybe_initialize
+
+    maybe_initialize()
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "--version":
         from genmap_tpu import __version__

@@ -171,6 +171,13 @@ def map_main(argv: list[str]) -> int:
             file_no=file_no, total_files=total_files,
         )
 
+        # multi-process: every host computed the identical vector; only
+        # rank 0 writes output files
+        import jax as _jax
+
+        if _jax.process_count() > 1 and _jax.process_index() != 0:
+            continue
+
         path = out_path
         if not includes_filename:
             base = layout.name[: layout.name.rfind(".")] if "." in layout.name else layout.name

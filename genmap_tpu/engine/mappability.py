@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from genmap_tpu.index.fmindex import FMIndexData
-from genmap_tpu.ops.rank import DeviceIndex, locate
+from genmap_tpu.ops.rank import DeviceIndex, DeviceText, locate
 from genmap_tpu.search.engine import DEFAULT_TIERS, Tier, make_block_mapper
 
 
@@ -109,15 +109,36 @@ class MappabilityEngine:
         self.batch_kmers = batch_kmers
         self.dedup = dedup
         self.mesh = mesh
-        self.indices = [DeviceIndex.from_part(data, p) for p in data.parts]
+        self.part_sharded = mesh is not None and "part" in getattr(
+            mesh, "axis_names", ()
+        )
+        self.dtext = DeviceText.from_host(data)
         self.batch_blocks = batch_blocks
-        if mesh is not None:
-            from genmap_tpu.parallel.mesh import batch_sharding, replicate_index
+        if self.part_sharded:
+            # parts live sharded across the 'part' mesh axis; blocks across
+            # 'data'; per-part counts merge on-device (parallel/partmesh.py).
+            # CSV/locate (host-side per-part row spaces) is not available.
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            self.indices = [replicate_index(ix, mesh) for ix in self.indices]
-            self._batch_sharding = batch_sharding(mesh)
-            # batch size must split evenly over the mesh
-            n = mesh.devices.size
+            from genmap_tpu.parallel.partmesh import stack_parts
+
+            self.indices = None
+            self.stacked = stack_parts(data, mesh)
+            self.dtext = jax.device_put(self.dtext, NamedSharding(mesh, P()))
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._mesh_data = mesh.shape["data"]
+        else:
+            self.indices = [DeviceIndex.from_part(data, p) for p in data.parts]
+            if mesh is not None:
+                from genmap_tpu.parallel.mesh import batch_sharding, replicate_index
+
+                self.indices = [replicate_index(ix, mesh) for ix in self.indices]
+                self.dtext = replicate_index(self.dtext, mesh)
+                self._batch_sharding = batch_sharding(mesh)
+                self._mesh_data = mesh.devices.size
+        if mesh is not None:
+            # batch size must split evenly over the data axis
+            n = self._mesh_data
             self.batch_blocks = -(-batch_blocks // n) * n
         self.text = data.decode_text()
         self.layouts = file_layouts(data)
@@ -125,9 +146,11 @@ class MappabilityEngine:
         self._runners: dict = {}
         self._locate_fns = [
             jax.jit(lambda pos, valid, ix=ix: locate(ix, pos, valid))
-            for ix in self.indices
+            for ix in (self.indices or [])
         ]
         self._locate_chunk = 1 << 14
+        # observability: per-compute overflow/tier statistics
+        self.stats = {"overflow_blocks": 0, "max_tier": 0}
         # global sequence id -> file ordinal, for exclude-pseudo
         self.seq_file_id = np.zeros(data.nseq, dtype=np.int64)
         fid = 0
@@ -144,6 +167,7 @@ class MappabilityEngine:
         if key not in self._runners:
             self._runners[key] = make_block_mapper(
                 self.indices[pi],
+                self.dtext,
                 K=K,
                 errors=errors,
                 overlap=o,
@@ -158,6 +182,20 @@ class MappabilityEngine:
         return self._runners[key]
 
     def _runners_for(self, K, errors, o, J, B, tier, cap, rev_compl, with_states):
+        if self.part_sharded:
+            assert not with_states, (
+                "CSV/exclude-pseudo is not supported on a part-sharded mesh"
+            )
+            key = ("psh", K, errors, o, J, B, tier, cap, rev_compl)
+            if key not in self._runners:
+                from genmap_tpu.parallel.partmesh import make_part_mapper
+
+                self._runners[key] = make_part_mapper(
+                    self.stacked, self.dtext, self.mesh, K=K, errors=errors,
+                    overlap=o, J=J, B=B, tier=tier, cap=cap,
+                    rev_compl=rev_compl,
+                )
+            return [self._runners[key]]
         return [
             self._runner(pi, K, errors, o, J, B, tier, cap, rev_compl, with_states)
             for pi in range(len(self.indices))
@@ -286,7 +324,7 @@ class MappabilityEngine:
                 break
             B = max(8, B0 * self.tiers[0].f_extend // tier.f_extend)
             if self.mesh is not None:
-                n = self.mesh.devices.size
+                n = self._mesh_data
                 B = max(n, -(-B // n) * n)
             runs = self._runners_for(
                 K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed
@@ -295,8 +333,18 @@ class MappabilityEngine:
             inflight: list[tuple[np.ndarray, list]] = []
 
             def drain(one):
+                from genmap_tpu.parallel.dist import fetch
+
                 while inflight and (len(inflight) >= window or one):
                     sel, outs = inflight.pop(0)
+                    outs = [
+                        {
+                            k: (tuple(fetch(x) for x in v) if k == "states"
+                                else fetch(v))
+                            for k, v in o.items()
+                        }
+                        for o in outs
+                    ]
                     ovf = np.zeros(len(sel), bool)
                     for out in outs:
                         ovf |= np.asarray(out["overflow"])[: len(sel)]
@@ -314,6 +362,8 @@ class MappabilityEngine:
                                 cnt = int(cnts[sel[bi]])
                                 E_flo[pi][s0 : s0 + cnt] = eflo[bi, :cnt]
                                 E_size[pi][s0 : s0 + cnt] = esz[bi, :cnt]
+                    self.stats["overflow_blocks"] += int(ovf.sum())
+                    self.stats["max_tier"] = max(self.stats["max_tier"], t_i)
                     still.append(sel[ovf])
                     if t_i == 0 and progress is not None:
                         progress.add(len(sel))
@@ -322,7 +372,7 @@ class MappabilityEngine:
 
             for s in range(0, len(pending), B):
                 sel = pending[s : s + B]
-                outs = self._run_batch(runs, text, starts[sel], cnts[sel], B, K, J, params)
+                outs = self._run_batch(runs, layout, starts[sel], cnts[sel], B, K, J, params)
                 inflight.append((sel, outs))
                 drain(False)
             while inflight:
@@ -360,6 +410,8 @@ class MappabilityEngine:
         else:
             if errors == 0:
                 return False  # the e=0 pre-pass would equal the main pass
+            if self.part_sharded:
+                return False  # pass-A keys need per-part interval outputs
             if self._sampled_dup_rate(text, K, nkmers) < 0.3:
                 return False
             P = len(self.indices)
@@ -416,22 +468,23 @@ class MappabilityEngine:
 
     # ------------------------------------------------------------------
 
-    def _run_batch(self, runs, text, bstarts, bcnts, B, K, J, params):
+    def _run_batch(self, runs, layout, bstarts, bcnts, B, K, J, params):
         nb = len(bstarts)
-        Ln = K + J - 1
         pad_b = B - nb
         starts = np.concatenate([bstarts, np.zeros(pad_b, np.int64)])
         cnts = np.concatenate([bcnts, np.zeros(pad_b, np.int32)]).astype(np.int32)
-        idx = starts[:, None] + np.arange(Ln)[None, :]
-        ok = idx < len(text)
-        needles = np.where(ok, text[np.minimum(idx, len(text) - 1)], 0).astype(np.uint8)
+        # global base positions; needle windows are extracted on device from
+        # the packed text (ops/rank.py extract_needles) so a dispatch ships
+        # only these starts
+        gstarts = (layout.start + starts).astype(np.uint32)
+        limit = np.uint32(layout.start + layout.length)
         if self.mesh is not None:
-            import jax
+            from genmap_tpu.parallel.dist import put_global_batch
 
             sh = self._batch_sharding
-            needles = jax.device_put(needles, sh)
-            cnts = jax.device_put(cnts, sh)
-        return [run(needles, cnts) for run in runs]
+            gstarts = put_global_batch(gstarts, sh)
+            cnts = put_global_batch(cnts, sh)
+        return [run(gstarts, cnts, limit) for run in runs]
 
     # ------------------------------------------------------------------
 

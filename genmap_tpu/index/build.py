@@ -21,6 +21,9 @@ part size even for multi-gigabase parts.
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 
 from genmap_tpu.index.fmindex import (
@@ -221,11 +224,56 @@ def _partition(lens: np.ndarray, limit: int) -> list[tuple[int, int]]:
     return groups
 
 
+def _build_part_to_dir(args) -> str:
+    """Worker: build one part and spill it to `out_dir` (npy files).
+
+    Returning multi-GB arrays through pickle pipes is slower than disk on
+    this host; the parent mmap-loads the spilled arrays instead.
+    """
+    seqs, sampling, has_n, seq_off, out_dir = args
+    part = _build_part(seqs, sampling, has_n, seq_off)
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "blocks.npy"), part.fwd.blocks)
+    np.save(os.path.join(out_dir, "C.npy"), part.C)
+    np.save(os.path.join(out_dir, "sa_i1.npy"), part.sa_i1)
+    np.save(os.path.join(out_dir, "sa_i2.npy"), part.sa_i2)
+    np.save(os.path.join(out_dir, "strand.npy"), part.strand_blocks)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(
+            {"length": part.fwd.length, "seq_off": seq_off, "nseq_part": part.nseq_part},
+            f,
+        )
+    return out_dir
+
+
+def _load_part_dir(out_dir: str, has_n: bool) -> IndexPart:
+    from genmap_tpu.index.fmindex import RankRows
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    return IndexPart(
+        fwd=RankRows(
+            blocks=np.load(os.path.join(out_dir, "blocks.npy"), mmap_mode="r"),
+            has_n=has_n,
+            has_ind=True,
+            length=meta["length"],
+        ),
+        C=np.load(os.path.join(out_dir, "C.npy")),
+        sa_i1=np.load(os.path.join(out_dir, "sa_i1.npy"), mmap_mode="r"),
+        sa_i2=np.load(os.path.join(out_dir, "sa_i2.npy"), mmap_mode="r"),
+        strand_blocks=np.load(os.path.join(out_dir, "strand.npy"), mmap_mode="r"),
+        seq_off=meta["seq_off"],
+        nseq_part=meta["nseq_part"],
+    )
+
+
 def build_index(
     fasta_files: list[FastaFile],
     sampling: int = 10,
     directory: bool = False,
     max_part_symbols: int = MAX_PART_SYMBOLS,
+    workers: int = 1,
+    spill_dir: str | None = None,
 ) -> FMIndexData:
     """Build an FMD-index (one or more parts) over all sequences of all files.
 
@@ -255,9 +303,25 @@ def build_index(
     alphabet_size = 5 if has_n else 4
 
     groups = _partition(seq_lens, max_part_symbols)
-    parts = [
-        _build_part(seqs[s:e], sampling, has_n, seq_off=s) for s, e in groups
-    ]
+    if workers > 1 and len(groups) > 1:
+        # parts are fully independent: build them in parallel processes (the
+        # SACA is latency-bound on this host, so extra processes scale well)
+        import multiprocessing as mp
+        import tempfile
+
+        base = spill_dir or tempfile.mkdtemp(prefix="genmap_parts_")
+        jobs = [
+            (seqs[s:e], sampling, has_n, s, os.path.join(base, f"part{i}"))
+            for i, (s, e) in enumerate(groups)
+        ]
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(min(workers, len(groups))) as pool:
+            dirs = pool.map(_build_part_to_dir, jobs)
+        parts = [_load_part_dir(d, has_n) for d in dirs]
+    else:
+        parts = [
+            _build_part(seqs[s:e], sampling, has_n, seq_off=s) for s, e in groups
+        ]
 
     text_words, text_nwords, text_len = _pack_text(seqs, has_n)
 

@@ -319,3 +319,51 @@ def locate(index: DeviceIndex, pos: jax.Array, valid: jax.Array) -> tuple[jax.Ar
     i1 = jnp.take(index.sa_i1, vidx)
     i2 = jnp.take(index.sa_i2, vidx) + steps_f
     return i1, i2
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DeviceText:
+    """Device-resident 2-bit packed concatenated text (+ N mask).
+
+    Needle windows are extracted ON DEVICE from block start positions, so a
+    batch dispatch ships B uint32 starts instead of B x (K+J-1) needle bytes
+    — host->device traffic drops ~100x, which matters both through the
+    tunneled dev chip and on real pods (the reference reads needles from its
+    in-memory text for free; this is the device-resident equivalent).
+    """
+
+    words: jax.Array  # [nw] uint32, 16 x 2-bit codes per word
+    nwords: jax.Array  # [nnw] uint32 N-bit mask (empty for Dna4)
+    limit: int = field(metadata={"static": True})  # total bases
+
+    @property
+    def has_n(self) -> bool:
+        return self.nwords.shape[0] > 0
+
+    @staticmethod
+    def from_host(data: FMIndexData) -> "DeviceText":
+        return DeviceText(
+            words=jnp.asarray(np.asarray(data.text_words)),
+            nwords=jnp.asarray(np.asarray(data.text_nwords)),
+            limit=data.text_len,
+        )
+
+
+def extract_needles(text: DeviceText, starts: jax.Array, Ln: int, limit) -> jax.Array:
+    """[B, Ln] uint8 needle windows; positions >= `limit` read as code 0.
+
+    `starts` are GLOBAL base positions (uint32); `limit` is the exclusive
+    end of the current fasta file's bases (traced scalar) — k-mers running
+    past it are masked exactly like the host-side extraction did.
+    """
+    pos = starts[:, None].astype(_U32) + jnp.arange(Ln, dtype=_U32)[None, :]
+    valid = pos < limit
+    pc = jnp.minimum(pos, jnp.asarray(text.limit - 1, _U32))
+    w = jnp.take(text.words, (pc >> _U32(4)).astype(jnp.int32), axis=0)
+    code = (w >> ((pc & _U32(15)) * _U32(2))) & _U32(3)
+    if text.has_n:
+        nw = jnp.take(text.nwords, (pc >> _U32(5)).astype(jnp.int32), axis=0)
+        nbit = (nw >> (pc & _U32(31))) & _U32(1)
+        code = jnp.where(nbit == 1, _U32(4), code)
+    return jnp.where(valid, code, 0).astype(jnp.uint8)

@@ -364,8 +364,57 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors,
     return (flo, rlo, size, err, valid), ovf
 
 
+def block_mapper_impl(
+    index, needles, cnt, n_total, *, plans, infix_off, J, K, tier, errors,
+    cap, rev_compl, with_states,
+):
+    """One batch of the block mapper (shared by the single-part, data-sharded
+    and part-sharded paths; `n_total` may be a traced scalar under the
+    part-sharded mesh)."""
+    from genmap_tpu.ops.rank import rc_strand_count
+
+    Bl = needles.shape[0]  # local batch (per shard under shard_map)
+    survivors, ovf1 = _search_infix(index, plans, infix_off, needles, Bl, tier, n_total)
+    states, ovf2 = _extend_to_kmers(index, survivors, needles, Bl, J, K, tier, errors)
+    flo, rlo, size, err, valid = states
+    ovf = ovf1 | ovf2
+
+    # the index covers both strands; size counts fwd + rc occurrences.
+    # forward-only sizes (for -nc and for exact-duplicate detection) come
+    # from the strand rank rows.
+    need_fwd = (not rev_compl) or with_states
+    if need_fwd:
+        rc_in = rc_strand_count(index, flo + size) - rc_strand_count(index, flo)
+        fwd_size = size - rc_in
+    counting = size if rev_compl else fwd_size
+    contrib = jnp.where(valid, jnp.minimum(counting, _U32(cap)), _U32(0))
+    hits = jnp.minimum(contrib.sum(axis=-1, dtype=_U32), _U32(cap))
+
+    exact_mask = valid & (err == 0)
+    exact_total = jnp.where(exact_mask, size, 0).sum(axis=-1, dtype=_U32)
+    exact_flo = jnp.where(exact_mask, flo, 0).sum(axis=-1, dtype=_U32)
+    exact_fwd = (
+        jnp.where(exact_mask, fwd_size, 0).sum(axis=-1, dtype=_U32)
+        if need_fwd
+        else exact_total
+    )
+
+    valid_j = jnp.arange(J, dtype=_I32)[None, :] < cnt[:, None]
+    out = dict(
+        hits=jnp.where(valid_j, hits, 0),
+        exact_size=jnp.where(valid_j, exact_fwd, 0),
+        exact_size_total=jnp.where(valid_j, exact_total, 0),
+        exact_flo=exact_flo,
+        overflow=ovf,
+    )
+    if with_states:
+        out["states"] = (flo, size, err, valid)
+    return out
+
+
 def make_block_mapper(
     index: DeviceIndex,
+    dtext,
     *,
     K: int,
     errors: int,
@@ -380,8 +429,11 @@ def make_block_mapper(
 ):
     """Build the jitted batch mapper for one configuration.
 
-    Input per batch: needles [B, K+J-1] uint8, cnt [B] int32 = number of
-    valid k-mers per block.  The index holds both strands, so a single pass
+    Input per batch: starts [B] uint32 global base positions, cnt [B] int32 =
+    number of valid k-mers per block, limit (traced scalar) = exclusive end
+    of the current file's bases.  Needle windows are extracted on device from
+    the packed text (`dtext`, ops/rank.py DeviceText) — a dispatch ships only
+    the starts.  The index holds both strands, so a single pass
     yields the combined fwd+rc frequency (reference: two passes,
     algo.hpp:284-308); rev_compl=False subtracts rc-strand occurrences via
     the strand rank rows.
@@ -398,70 +450,41 @@ def make_block_mapper(
     infix_off = K - o
     n_total = index.n_total
 
-    def run_impl(index, needles, cnt):
-        from genmap_tpu.ops.rank import rc_strand_count
+    from genmap_tpu.ops.rank import extract_needles
 
-        Bl = needles.shape[0]  # local batch (per shard under shard_map)
-        survivors, ovf1 = _search_infix(index, plans, infix_off, needles, Bl, tier, n_total)
-        states, ovf2 = _extend_to_kmers(index, survivors, needles, Bl, J, K, tier, errors)
-        flo, rlo, size, err, valid = states
-        ovf = ovf1 | ovf2
+    Ln = K + J - 1
 
-        # the index covers both strands; size counts fwd + rc occurrences.
-        # forward-only sizes (for -nc and for exact-duplicate detection) come
-        # from the strand rank rows.
-        need_fwd = (not rev_compl) or with_states
-        if need_fwd:
-            rc_in = rc_strand_count(index, flo + size) - rc_strand_count(index, flo)
-            fwd_size = size - rc_in
-        counting = size if rev_compl else fwd_size
-        contrib = jnp.where(valid, jnp.minimum(counting, _U32(cap)), _U32(0))
-        hits = jnp.minimum(contrib.sum(axis=-1, dtype=_U32), _U32(cap))
-
-        exact_mask = valid & (err == 0)
-        exact_total = jnp.where(exact_mask, size, 0).sum(axis=-1, dtype=_U32)
-        exact_flo = jnp.where(exact_mask, flo, 0).sum(axis=-1, dtype=_U32)
-        exact_fwd = (
-            jnp.where(exact_mask, fwd_size, 0).sum(axis=-1, dtype=_U32)
-            if need_fwd
-            else exact_total
+    def run_impl(index, dtext, starts, cnt, limit):
+        needles = extract_needles(dtext, starts, Ln, limit)
+        return block_mapper_impl(
+            index, needles, cnt, n_total, plans=plans, infix_off=infix_off,
+            J=J, K=K, tier=tier, errors=errors, cap=cap, rev_compl=rev_compl,
+            with_states=with_states,
         )
-
-        valid_j = jnp.arange(J, dtype=_I32)[None, :] < cnt[:, None]
-        out = dict(
-            hits=jnp.where(valid_j, hits, 0),
-            exact_size=jnp.where(valid_j, exact_fwd, 0),
-            exact_size_total=jnp.where(valid_j, exact_total, 0),
-            exact_flo=exact_flo,
-            overflow=ovf,
-        )
-        if with_states:
-            out["states"] = (flo, size, err, valid)
-        return out
 
     if mesh is None:
         run_jit = jax.jit(run_impl)
 
-        def run(needles, cnt):
-            return run_jit(index, needles, cnt)
+        def run(starts, cnt, limit):
+            return run_jit(index, dtext, starts, cnt, limit)
 
         return run
 
     # sharded execution: per-shard local programs via shard_map (the SPMD
     # partitioner otherwise inserts all-gathers around the compaction
-    # scatters); the index is replicated, blocks are split along 'data'
+    # scatters); the index and text are replicated, blocks split along 'data'
     from jax.sharding import PartitionSpec as P
 
     smapped = jax.shard_map(
         run_impl,
         mesh=mesh,
-        in_specs=(P(), P("data"), P("data")),
+        in_specs=(P(), P(), P("data"), P("data"), P()),
         out_specs=P("data"),
         check_vma=False,  # scan carries start as replicated zeros
     )
     run_jit = jax.jit(smapped)
 
-    def run(needles, cnt):
-        return run_jit(index, needles, cnt)
+    def run(starts, cnt, limit):
+        return run_jit(index, dtext, starts, cnt, limit)
 
     return run

@@ -51,3 +51,30 @@ def test_graft_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_part_sharded_matches_single():
+    """Part x data mesh (2 parts x 4 data shards) with on-device psum merge
+    must equal the single-device result."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(3)
+    ff = FastaFile(name="g.fa")
+    ff.ids = ["c1", "c2", "c3", "c4"]
+    ff.seqs = [rng.integers(0, 4, size=800, dtype=np.uint8) for _ in range(4)]
+    data = build_index([ff], sampling=5, max_part_symbols=3300)
+    assert len(data.parts) == 2
+
+    params = SearchParams(length=12, overlap=9, rev_compl=True)
+    eng1 = MappabilityEngine(data, batch_blocks=32)
+    res1 = eng1.compute_file(eng1.layouts[0], params, errors=2, cap=65535)
+
+    from genmap_tpu.parallel.partmesh import part_data_mesh
+
+    mesh = part_data_mesh(2, 8)
+    engp = MappabilityEngine(data, batch_blocks=32, mesh=mesh)
+    assert engp.part_sharded
+    resp = engp.compute_file(engp.layouts[0], params, errors=2, cap=65535)
+
+    np.testing.assert_array_equal(res1.c, resp.c)
