@@ -183,8 +183,9 @@ def _build_part(
         w += m
     del sa
 
-    fwd = build_rank_rows(bwt, sbits, has_n, ind)
+    fwd = build_rank_rows(bwt, sbits, has_n)
     strand_blocks = _bitvec_rank_rows(strand_bits)
+    ind_blocks = _bitvec_rank_rows(ind)
 
     # C array over real symbols, sentinels smallest (char_counts[0] counts
     # sentinel bytes; real chars are stored shifted by one in ctext)
@@ -200,6 +201,7 @@ def _build_part(
         sa_i1=sa_i1,
         sa_i2=sa_i2,
         strand_blocks=strand_blocks,
+        ind_blocks=ind_blocks,
         seq_off=seq_off,
         nseq_part=nseq_g,
     )
@@ -238,6 +240,7 @@ def _build_part_to_dir(args) -> str:
     np.save(os.path.join(out_dir, "sa_i1.npy"), part.sa_i1)
     np.save(os.path.join(out_dir, "sa_i2.npy"), part.sa_i2)
     np.save(os.path.join(out_dir, "strand.npy"), part.strand_blocks)
+    np.save(os.path.join(out_dir, "ind.npy"), part.ind_blocks)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(
             {"length": part.fwd.length, "seq_off": seq_off, "nseq_part": part.nseq_part},
@@ -255,13 +258,13 @@ def _load_part_dir(out_dir: str, has_n: bool) -> IndexPart:
         fwd=RankRows(
             blocks=np.load(os.path.join(out_dir, "blocks.npy"), mmap_mode="r"),
             has_n=has_n,
-            has_ind=True,
             length=meta["length"],
         ),
         C=np.load(os.path.join(out_dir, "C.npy")),
         sa_i1=np.load(os.path.join(out_dir, "sa_i1.npy"), mmap_mode="r"),
         sa_i2=np.load(os.path.join(out_dir, "sa_i2.npy"), mmap_mode="r"),
         strand_blocks=np.load(os.path.join(out_dir, "strand.npy"), mmap_mode="r"),
+        ind_blocks=np.load(os.path.join(out_dir, "ind.npy"), mmap_mode="r"),
         seq_off=meta["seq_off"],
         nseq_part=meta["nseq_part"],
     )

@@ -38,7 +38,6 @@ from genmap_tpu.index.fmindex import (
     WORDS,
     FMIndexData,
     IndexPart,
-    _col_icnt,
     _col_ncnt,
 )
 
@@ -61,6 +60,7 @@ class DeviceIndex:
     sa_i1: jax.Array  # sampled SA values
     sa_i2: jax.Array
     strand_blocks: jax.Array  # [nb, 5] uint32: rc-strand rank rows over SA rows
+    ind_blocks: jax.Array  # [nb, 5] uint32: SA-sampling indicator rank rows
     has_n: bool = field(metadata={"static": True})
     sampling: int = field(metadata={"static": True})
     n_total: int = field(metadata={"static": True})
@@ -77,6 +77,7 @@ class DeviceIndex:
             sa_i1=jnp.asarray(part.sa_i1),
             sa_i2=jnp.asarray(part.sa_i2),
             strand_blocks=jnp.asarray(part.strand_blocks),
+            ind_blocks=jnp.asarray(part.ind_blocks),
             has_n=data.has_n,
             sampling=data.sampling,
             n_total=part.n_total,
@@ -279,20 +280,22 @@ def locate(index: DeviceIndex, pos: jax.Array, valid: jax.Array) -> tuple[jax.Ar
     Equivalent to SeqAn's getOccurrences on the sampled compressed SA
     (sampling scheme of /root/reference/src/seqan_libdivsufsort.h:106-147).
     Walk length is bounded by the sampling rate.  `valid` masks garbage rows.
-    Sequence numbers are part-local (caller maps to global ids).
+    Sequence numbers are part-local (caller maps to global ids).  The
+    indicator bits live in their own small table (index.ind_blocks) so the
+    hot-path rank gathers never move them.
     """
     has_n = index.has_n
-    ci = _col_icnt(has_n)
 
     def body(_, carry):
         p, steps, done = carry
         rows = jnp.take(index.fwd_blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
+        irows = jnp.take(index.ind_blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
         off = (p & _U32(127)).astype(jnp.int32)
         bidx = off >> 5
         bsh = (off & 31).astype(_U32)
         ibit = (
             jnp.take_along_axis(
-                rows[..., ci + 1 : ci + 1 + BITWORDS], bidx[..., None], axis=-1
+                irows[..., 1 : 1 + BITWORDS], bidx[..., None], axis=-1
             )[..., 0]
             >> bsh
         ) & _U32(1)
@@ -311,10 +314,10 @@ def locate(index: DeviceIndex, pos: jax.Array, valid: jax.Array) -> tuple[jax.Ar
     p_f, steps_f, _ = jax.lax.fori_loop(0, index.sampling, body, (pos, steps0, done0))
 
     # final: p_f has its indicator bit set (for valid rows); rank -> value idx
-    rows = jnp.take(index.fwd_blocks, (p_f >> _U32(7)).astype(jnp.int32), axis=0)
+    irows = jnp.take(index.ind_blocks, (p_f >> _U32(7)).astype(jnp.int32), axis=0)
     off = (p_f & _U32(127)).astype(jnp.int32)
     bmask = _bit_masks(off)
-    irank = _bitvec_count(rows, ci, bmask)
+    irank = _bitvec_count(irows, 0, bmask)
     vidx = jnp.where(valid, irank, 0).astype(jnp.int32)
     i1 = jnp.take(index.sa_i1, vidx)
     i2 = jnp.take(index.sa_i2, vidx) + steps_f

@@ -106,6 +106,7 @@ def make_part_mapper(
             sa_i1=jnp.zeros((1,), _U32),
             sa_i2=jnp.zeros((1,), _U32),
             strand_blocks=strand[0],
+            ind_blocks=jnp.zeros((1, 5), _U32),
             has_n=has_n,
             sampling=sampling,
             n_total=0,  # unused: the traced n_tot[0] is passed explicitly
