@@ -202,3 +202,26 @@ def test_locate_roundtrip():
             if seq[j : j + 6] == patt
         )
         assert got == expected
+
+
+def test_extract_needles_matches_host():
+    """On-device needle extraction must equal host-side window slicing."""
+    import jax.numpy as jnp
+
+    from genmap_tpu.ops.rank import DeviceText, extract_needles
+
+    rng = np.random.default_rng(21)
+    alpha = "ACGTN"
+    seqs = ["".join(rng.choice(list(alpha), size=333))]
+    data = _mk(seqs)
+    dtext = DeviceText.from_host(data)
+    text = data.decode_text()
+
+    Ln = 17
+    starts = rng.integers(0, len(text), size=64).astype(np.uint32)
+    limit = np.uint32(len(text) - 5)  # pretend the file ends early
+    got = np.asarray(extract_needles(dtext, jnp.asarray(starts), Ln, limit))
+    for i, s in enumerate(starts):
+        idx = int(s) + np.arange(Ln)
+        exp = np.where(idx < int(limit), text[np.minimum(idx, len(text) - 1)], 0)
+        np.testing.assert_array_equal(got[i], exp.astype(np.uint8), err_msg=str(s))
