@@ -23,7 +23,7 @@ def main() -> None:
     from genmap_tpu.cli.map_cmd import default_overlap
     from genmap_tpu.index.build import build_index
     from genmap_tpu.io.fasta import FastaFile
-    from genmap_tpu.ops.rank import DeviceIndex, extend_all, locate
+    from genmap_tpu.ops.rank import DeviceIndex, DeviceText, extend_all, locate
     from genmap_tpu.search.engine import DEFAULT_TIERS, make_block_mapper
 
     rng = np.random.default_rng(0)
@@ -32,6 +32,7 @@ def main() -> None:
     ff.seqs = [rng.integers(0, 4, size=2_000_000, dtype=np.uint8)]
     data = build_index([ff], sampling=10)
     index = DeviceIndex.from_host(data)
+    dtext = DeviceText.from_host(data)
     n = index.n_total
 
     def timeit(name, fn, *args, iters=10):
@@ -65,17 +66,19 @@ def main() -> None:
     o = K - default_overlap(K, errors)
     J = K - o + 1
     B = 1024
-    run = make_block_mapper(
-        index, K=K, errors=errors, overlap=o, J=J, B=B,
-        tier=DEFAULT_TIERS[0], cap=65535, rev_compl=True,
-    )
-    text = data.decode_text()
-    Ln = K + J - 1
-    starts = (np.arange(B) * J) % (len(text) - Ln)
-    needles = np.stack([text[s : s + Ln] for s in starts])
-    cnt = np.full(B, J, np.int32)
-    dt = timeit(f"block mapper     [{B}x{J} kmers]", lambda: run(needles, cnt))
-    print(f"{'':40s} {B * J / dt:9.0f} kmers/s")
+    for name, tier in (("fast", DEFAULT_TIERS[0]), ("exact", DEFAULT_TIERS[1])):
+        run = make_block_mapper(
+            index, dtext, K=K, errors=errors, overlap=o, J=J, B=B,
+            tier=tier, cap=65535, rev_compl=True,
+        )
+        Ln = K + J - 1
+        starts = ((np.arange(B) * J) % (data.text_len - Ln)).astype(np.uint32)
+        cnt = np.full(B, J, np.int32)
+        limit = np.uint32(data.text_len)
+        dt = timeit(
+            f"block mapper {name} [{B}x{J} kmers]", lambda: run(starts, cnt, limit)
+        )
+        print(f"{'':40s} {B * J / dt:9.0f} kmers/s")
 
 
 if __name__ == "__main__":

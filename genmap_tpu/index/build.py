@@ -27,8 +27,8 @@ import os
 import numpy as np
 
 from genmap_tpu.index.fmindex import (
-    BITWORDS,
-    BLOCK,
+    BVBLOCK,
+    BVWORDS,
     FMIndexData,
     IndexPart,
     build_rank_rows,
@@ -87,23 +87,26 @@ def _pack_text(seqs: list[np.ndarray], has_n: bool) -> tuple[np.ndarray, np.ndar
 
 
 def _bitvec_rank_rows(bits: np.ndarray) -> np.ndarray:
-    """[nblocks, 5] uint32 rank rows (absolute count + 4 words) of a bitvector."""
+    """[nblocks, 5] uint32 rank rows (absolute count + 4 words) of a bitvector.
+
+    These 128-symbol rows serve the strand / SA-indicator bitvectors (cold
+    paths: locate and strand splitting), not the hot rank rows."""
     n = len(bits)
-    nblocks = n // BLOCK + 1
-    out = np.zeros((nblocks, 1 + BITWORDS), dtype=np.uint32)
+    nblocks = n // BVBLOCK + 1
+    out = np.zeros((nblocks, 1 + BVWORDS), dtype=np.uint32)
     per_block = np.zeros(nblocks, dtype=np.uint32)
     shifts = np.arange(32, dtype=np.uint32)[None, None, :]
-    for c0 in range(0, nblocks * BLOCK, _CHUNK):
-        c1 = min(c0 + _CHUNK, nblocks * BLOCK)
-        b0, b1 = c0 // BLOCK, c1 // BLOCK
+    for c0 in range(0, nblocks * BVBLOCK, _CHUNK):
+        c1 = min(c0 + _CHUNK, nblocks * BVBLOCK)
+        b0, b1 = c0 // BVBLOCK, c1 // BVBLOCK
         m = c1 - c0
         bp = np.zeros(m, dtype=bool)
         take = max(0, min(c1, n) - c0)
         if take:
             bp[:take] = bits[c0 : c0 + take]
         nb = b1 - b0
-        per_block[b0:b1] = bp.reshape(nb, BLOCK).sum(axis=1, dtype=np.uint32)
-        b = bp.astype(np.uint32).reshape(nb, BITWORDS, 32)
+        per_block[b0:b1] = bp.reshape(nb, BVBLOCK).sum(axis=1, dtype=np.uint32)
+        b = bp.astype(np.uint32).reshape(nb, BVWORDS, 32)
         out[b0:b1, 1:] = np.bitwise_or.reduce(b << shifts, axis=-1)
     acc = np.cumsum(per_block, dtype=np.uint64)
     out[0, 0] = 0

@@ -2,25 +2,31 @@
 
 Design (TPU-first, not a port of SeqAn's EPR dictionaries — see SURVEY.md §7):
 
-The BWT of the sentinel-separated concatenated text is stored as *rank rows*:
-one row of uint32 per 128 BWT symbols that contains everything a rank query at
-any position inside the block needs, so a batched rank/LF step is ONE row
-gather per query position plus vectorized popcounts:
+The BWT of the sentinel-separated concatenated text is stored as *rank rows*.
+A measured property of the TPU gather engine drives the layout: a random row
+gather costs ~5-7 ns PER ROW regardless of row width up to ~512 bytes
+(NOTES.md, round 2).  The hot rank/LF step therefore wants the fewest,
+widest gathers — so rank data is stored as PAIRED rows:
 
-    cols  0..7   eight uint32 words of 2-bit symbol codes (16 symbols/word);
-                 N (code 4) and sentinels are stored as code 0 in the words
-                 and marked in separate bitvectors
-    cols  8..10  absolute counts at block start of fields <=0, <=1, <=2
-                 (raw 2-bit field values)
-    col   11     absolute sentinel count at block start
-    cols 12..15  sentinel bitvector for the block (4 x 32 bits)
-    [Dna5 only]
-    col   16     absolute N count at block start
-    cols 17..20  N bitvector
+  * a logical SUB-BLOCK covers 512 BWT symbols:
+      cols  0..31  thirty-two uint32 words of 2-bit symbol codes
+                   (16 symbols/word); N (code 4) and sentinels are stored as
+                   code 0 in the words and marked in separate bitvectors
+      cols 32..34  absolute counts at block start of fields <=0, <=1, <=2
+      col   35     absolute sentinel count at block start
+      cols 36..51  sentinel bitvector (16 x 32 bits)
+      [Dna5 only]
+      col   52     absolute N count at block start
+      cols 53..68  N bitvector
+  * the STORED/GATHERED row i is the concatenation of sub-blocks i and i+1,
+    covering symbols [512*i, 512*i + 1024).
 
-The suffix-array sampling indicator lives in a SEPARATE small table
-(`IndexPart.ind_blocks`): it is only read by `locate`, and keeping it out of
-the main rows cuts ~20-25% off the bytes every hot-path rank gather moves.
+One paired-row gather at row lo>>9 answers rank queries at BOTH interval
+bounds whenever hi = lo + size lies within the next sub-block — always true
+for size <= 512.  The search engine's fast path exploits this (one gather
+per state instead of two, ops/rank.py extend_core_fast); wide-interval
+states fall back to an exact two-gather path via tier escalation
+(search/engine.py).
 
 True per-character prefix counts are recovered by subtracting sentinel/N
 counts from the raw field counts (N never collides: it is the *last* symbol in
@@ -44,7 +50,9 @@ integer types (/root/reference/src/indexing.hpp:151-170).
 
 The suffix array is sampled in text order (i2 % sampling == 0), skipping
 sentinel positions, with an indicator bitvector over SA rows — the same
-sampling scheme as /root/reference/src/seqan_libdivsufsort.h:106-147.
+sampling scheme as /root/reference/src/seqan_libdivsufsort.h:106-147.  The
+indicator and the strand bitvector live in their own small 128-symbol rank
+rows (only `locate` / strand splitting read them).
 """
 
 from __future__ import annotations
@@ -55,53 +63,68 @@ from dataclasses import dataclass
 
 import numpy as np
 
-BLOCK = 128  # symbols per rank row
-WORDS = BLOCK // 16  # 2-bit words per row
-BITWORDS = BLOCK // 32  # bitvector words per row
+BLOCK = 512  # symbols per logical sub-block
+SUBWORDS = BLOCK // 16  # 2-bit words per sub-block (32)
+SUBBITS = BLOCK // 32  # bitvector words per sub-block (16)
 
-# column offsets
-COL_WORDS = 0
-COL_LE = 8
-COL_SCNT = 11
-COL_SBITS = 12
-_BASE_COLS = 16
+# sub-block column offsets
+S_WORDS = 0
+S_LE = SUBWORDS  # 32..34
+S_SCNT = SUBWORDS + 3  # 35
+S_SBITS = SUBWORDS + 4  # 36..51
+_SUB_BASE = SUBWORDS + 4 + SUBBITS  # 52
+
+# auxiliary bitvector rank rows (strand / SA-sampling indicator) keep a
+# smaller 128-symbol geometry: [count, 4 bit words] per row
+BVBLOCK = 128
+BVWORDS = BVBLOCK // 32  # 4
 
 # chunk size (in BLOCK-aligned symbols) for bounded-memory construction
 _CHUNK = 64 * 1024 * 1024
 
 
-def _ncols(has_n: bool) -> int:
-    return _BASE_COLS + 5 * int(has_n)
+def sub_width(has_n: bool) -> int:
+    return _SUB_BASE + (1 + SUBBITS) * int(has_n)
 
 
 def _col_ncnt(has_n: bool) -> int:
-    return _BASE_COLS  # valid only when has_n
+    return _SUB_BASE  # valid only when has_n
+
+
+def wide_rows(sub: np.ndarray) -> np.ndarray:
+    """Paired gather rows: wide[i] = concat(sub[i], sub[i+1]) (zero pad row).
+
+    The pad half is never addressed by a valid query (half 1 at the last row
+    would need a position > n), it only keeps the layout rectangular.
+    """
+    nxt = np.vstack([sub[1:], np.zeros((1, sub.shape[1]), np.uint32)])
+    return np.ascontiguousarray(np.hstack([sub, nxt]))
 
 
 @dataclass
 class RankRows:
-    """Rank rows for one BWT."""
+    """Rank sub-rows for one BWT (paired into gather rows on device)."""
 
-    blocks: np.ndarray  # [nblocks, ncols] uint32
+    blocks: np.ndarray  # [nblocks, sub_width] uint32 sub-rows
     has_n: bool
     length: int  # number of BWT symbols (= text length incl. sentinels)
 
     @property
     def ncols(self) -> int:
-        return _ncols(self.has_n)
+        return sub_width(self.has_n)
 
 
 def _pack_words(codes2: np.ndarray, nblocks: int) -> np.ndarray:
-    """Pack 2-bit codes [nblocks*BLOCK] into uint32 words [nblocks, WORDS]."""
-    c = codes2.astype(np.uint32).reshape(nblocks, WORDS, 16)
+    """Pack 2-bit codes [nblocks*BLOCK] into uint32 words [nblocks, SUBWORDS]."""
+    c = codes2.astype(np.uint32).reshape(nblocks, SUBWORDS, 16)
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
     out = c << shifts
     return np.bitwise_or.reduce(out, axis=-1)
 
 
 def _pack_bits(bits: np.ndarray, nblocks: int) -> np.ndarray:
-    """Pack bool bits [nblocks*BLOCK] into uint32 words [nblocks, BITWORDS]."""
-    b = bits.astype(np.uint32).reshape(nblocks, BITWORDS, 32)
+    """Pack bool bits [nblocks*BLOCK] into uint32 words [nblocks, SUBBITS]."""
+    b = bits.astype(np.uint32).reshape(nblocks, SUBBITS, 32)
     shifts = np.arange(32, dtype=np.uint32)[None, None, :]
     return np.bitwise_or.reduce(b << shifts, axis=-1)
 
@@ -114,7 +137,7 @@ def _exclusive_cumsum_into(per_block: np.ndarray, out: np.ndarray) -> None:
 
 
 def build_rank_rows(bwt: np.ndarray, sbits: np.ndarray, has_n: bool) -> RankRows:
-    """Build rank rows from BWT codes (0..4) and sentinel bits.
+    """Build rank sub-rows from BWT codes (0..4) and sentinel bits.
 
     `bwt[i]` is the real symbol code at BWT position i (value irrelevant where
     `sbits[i]` is set).  Processes the input in bounded chunks so
@@ -124,7 +147,7 @@ def build_rank_rows(bwt: np.ndarray, sbits: np.ndarray, has_n: bool) -> RankRows
     n = int(len(bwt))
     nblocks = n // BLOCK + 1  # always one extra row so queries at p == n work
 
-    ncols = _ncols(has_n)
+    ncols = sub_width(has_n)
     blocks = np.zeros((nblocks, ncols), dtype=np.uint32)
     # per-block counts, accumulated chunk by chunk, cumsum'd at the end
     le_pb = np.zeros((3, nblocks), dtype=np.uint32)
@@ -145,23 +168,23 @@ def build_rank_rows(bwt: np.ndarray, sbits: np.ndarray, has_n: bool) -> RankRows
         nb = b1 - b0
 
         codes2 = np.where((bwt_p >= 4) | sbits_p, 0, bwt_p).astype(np.uint8)
-        blocks[b0:b1, COL_WORDS : COL_WORDS + WORDS] = _pack_words(codes2, nb)
+        blocks[b0:b1, S_WORDS : S_WORDS + SUBWORDS] = _pack_words(codes2, nb)
         c2 = codes2.reshape(nb, BLOCK)
         for k in range(3):
             le_pb[k, b0:b1] = (c2 <= k).sum(axis=1, dtype=np.uint32)
 
         sb = sbits_p.reshape(nb, BLOCK)
         s_pb[b0:b1] = sb.sum(axis=1, dtype=np.uint32)
-        blocks[b0:b1, COL_SBITS : COL_SBITS + BITWORDS] = _pack_bits(sbits_p, nb)
+        blocks[b0:b1, S_SBITS : S_SBITS + SUBBITS] = _pack_bits(sbits_p, nb)
 
         if has_n:
             nbits_p = (bwt_p == 4) & ~sbits_p
             n_pb[b0:b1] = nbits_p.reshape(nb, BLOCK).sum(axis=1, dtype=np.uint32)
-            blocks[b0:b1, cn + 1 : cn + 1 + BITWORDS] = _pack_bits(nbits_p, nb)
+            blocks[b0:b1, cn + 1 : cn + 1 + SUBBITS] = _pack_bits(nbits_p, nb)
 
     for k in range(3):
-        _exclusive_cumsum_into(le_pb[k], blocks[:, COL_LE + k])
-    _exclusive_cumsum_into(s_pb, blocks[:, COL_SCNT])
+        _exclusive_cumsum_into(le_pb[k], blocks[:, S_LE + k])
+    _exclusive_cumsum_into(s_pb, blocks[:, S_SCNT])
     if has_n:
         _exclusive_cumsum_into(n_pb, blocks[:, cn])
 
@@ -182,9 +205,9 @@ class IndexPart:
     sa_i1: np.ndarray  # sampled SA values, local sequence number (uint32)
     sa_i2: np.ndarray  # sampled SA values, sequence position (uint32)
     # rank rows of the strand bitvector over SA rows (rc-half suffixes):
-    # [nblocks, 5] uint32 = absolute count + 4 bitvector words per 128 rows
+    # [nblocks128, 5] uint32 = absolute count + 4 bitvector words per 128 rows
     strand_blocks: np.ndarray
-    # rank rows of the SA-sampling indicator bitvector (same [nblocks, 5]
+    # rank rows of the SA-sampling indicator bitvector (same [nblocks128, 5]
     # layout); only `locate` reads these
     ind_blocks: np.ndarray
     seq_off: int
@@ -247,7 +270,7 @@ class FMIndexData:
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         meta = {
-            "format_version": 3,  # v3: FMD (single BWT), sub-index parts
+            "format_version": 4,  # v4: 512-symbol paired rank rows
             "alphabet_size": self.alphabet_size,
             "sampling_rate": self.sampling,
             "fasta_directory": self.directory,
@@ -282,7 +305,7 @@ class FMIndexData:
     def load(path: str, mmap: bool = False) -> "FMIndexData":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        if meta.get("format_version") != 3:
+        if meta.get("format_version") != 4:
             raise ValueError(
                 f"unsupported index format_version {meta.get('format_version')};"
                 " rebuild the index with this version of genmap-tpu"

@@ -1,10 +1,23 @@
-"""Batched FM-index rank / LF primitives (pure-jnp reference path).
+"""Batched FM-index rank / LF primitives.
 
-Every rank query gathers ONE rank row (see index/fmindex.py layout) and
-finishes with vectorized popcounts on the VPU — this is the TPU-native
+Every rank query gathers ONE paired rank row (see index/fmindex.py layout)
+and finishes with vectorized popcounts on the VPU — this is the TPU-native
 equivalent of the constant-time EPR prefix-rank queries the reference gets
 from SeqAn (config /root/reference/src/common.hpp:38-49; hot call sites
 /root/reference/src/algo.hpp and find2_index_approx.hpp via goDown/goRight).
+
+The layout follows a measured property of the TPU gather engine: random row
+gathers cost ~5-7 ns PER ROW independent of row width up to ~512 bytes
+(NOTES.md).  A paired row covers 1024 BWT symbols, so:
+
+  * `extend_core_fast` — ONE gather per search state (at sub-row lo>>9)
+    serves the rank queries at BOTH interval bounds whenever the interval
+    fits the gathered 1024-symbol window (always true for size <= 512).
+    States whose interval is wider return a `far` flag; the search engine
+    escalates those blocks to an exact tier.
+  * `extend_core` — the exact path: one gather per bound (each using the
+    first half of its paired row); used for the large-interval steps at the
+    start of a search and for escalation tiers.
 
 Bidirectional search uses the FMD scheme over the single both-strand BWT
 (see index/fmindex.py): a pattern P is tracked as the interval pair
@@ -30,18 +43,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from genmap_tpu.index.fmindex import (
-    BITWORDS,
-    COL_LE,
-    COL_SBITS,
-    COL_SCNT,
-    COL_WORDS,
-    WORDS,
+    BVWORDS,
+    SUBBITS,
+    SUBWORDS,
+    S_LE,
+    S_SBITS,
+    S_SCNT,
+    S_WORDS,
     FMIndexData,
     IndexPart,
     _col_ncnt,
+    sub_width,
+    wide_rows,
 )
 
 _U32 = jnp.uint32
+_I32 = jnp.int32
 _MASK55 = np.uint32(0x55555555)
 _FULL = np.uint32(0xFFFFFFFF)
 
@@ -53,14 +70,14 @@ _COMP5 = np.array([3, 2, 1, 0, 4], dtype=np.int32)
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DeviceIndex:
-    """Device-resident FMD-index part."""
+    """Device-resident FMD-index part (paired rank rows)."""
 
-    fwd_blocks: jax.Array  # [nb, W] uint32
+    fwd_blocks: jax.Array  # [nb, 2*sub_width] uint32 paired rows
     C: jax.Array  # [6] uint32
     sa_i1: jax.Array  # sampled SA values
     sa_i2: jax.Array
-    strand_blocks: jax.Array  # [nb, 5] uint32: rc-strand rank rows over SA rows
-    ind_blocks: jax.Array  # [nb, 5] uint32: SA-sampling indicator rank rows
+    strand_blocks: jax.Array  # [nb128, 5] uint32: rc-strand ranks over SA rows
+    ind_blocks: jax.Array  # [nb128, 5] uint32: SA-sampling indicator ranks
     has_n: bool = field(metadata={"static": True})
     sampling: int = field(metadata={"static": True})
     n_total: int = field(metadata={"static": True})
@@ -72,7 +89,7 @@ class DeviceIndex:
     @staticmethod
     def from_part(data: FMIndexData, part: IndexPart) -> "DeviceIndex":
         return DeviceIndex(
-            fwd_blocks=jnp.asarray(part.fwd.blocks),
+            fwd_blocks=jnp.asarray(wide_rows(np.asarray(part.fwd.blocks))),
             C=jnp.asarray(part.C.astype(np.uint32)),
             sa_i1=jnp.asarray(part.sa_i1),
             sa_i2=jnp.asarray(part.sa_i2),
@@ -92,14 +109,14 @@ class DeviceIndex:
 
 def _field_masks(off: jax.Array) -> jax.Array:
     """Per-word 2-bit-field masks selecting fields < off.  off: [...] int32."""
-    nf = jnp.clip(off[..., None] - 16 * jnp.arange(WORDS, dtype=jnp.int32), 0, 16)
+    nf = jnp.clip(off[..., None] - 16 * jnp.arange(SUBWORDS, dtype=_I32), 0, 16)
     sh = jnp.minimum(2 * nf, 31).astype(_U32)
     return jnp.where(nf >= 16, _FULL, (_U32(1) << sh) - _U32(1))
 
 
-def _bit_masks(off: jax.Array) -> jax.Array:
+def _bit_masks(off: jax.Array, words: int) -> jax.Array:
     """Per-word bit masks selecting bits < off."""
-    nb = jnp.clip(off[..., None] - 32 * jnp.arange(BITWORDS, dtype=jnp.int32), 0, 32)
+    nb = jnp.clip(off[..., None] - 32 * jnp.arange(words, dtype=_I32), 0, 32)
     sh = jnp.minimum(nb, 31).astype(_U32)
     return jnp.where(nb >= 32, _FULL, (_U32(1) << sh) - _U32(1))
 
@@ -108,54 +125,119 @@ def _popcount_sum(x: jax.Array) -> jax.Array:
     return jax.lax.population_count(x).sum(axis=-1, dtype=_U32)
 
 
-def _bitvec_count(rows: jax.Array, col: int, bmask: jax.Array) -> jax.Array:
-    """Absolute count of a (count, bits[4]) bitvector group at position off."""
-    return rows[..., col] + _popcount_sum(rows[..., col + 1 : col + 1 + BITWORDS] & bmask)
+def _occ_sub(sub: jax.Array, p: jax.Array, has_n: bool) -> tuple[jax.Array, jax.Array]:
+    """Per-character occurrence counts + sentinel count at position p.
 
-
-def occ_counts(rows: jax.Array, p: jax.Array, has_n: bool) -> tuple[jax.Array, ...]:
-    """From gathered rank rows at positions p, compute prefix counts at p.
-
-    Returns (real_le0, real_le1, real_le2, real_le3, sent, ncnt): each [...]
-    uint32, where real_le{k} counts real characters with code <= k in
-    BWT[0..p) and sent/ncnt count sentinels / Ns.
+    `sub` must be the 512-symbol sub-row covering p (its block start at
+    (p >> 9) << 9).  Returns (occ [..., A], sent [...]), both uint32:
+      occ[c] = #{i < p : BWT[i] == c},  sent = #{i < p : BWT[i] sentinel}.
     """
-    off = (p & _U32(127)).astype(jnp.int32)
+    off = (p & _U32(511)).astype(_I32)
     fmask = _field_masks(off)
-    w = rows[..., COL_WORDS : COL_WORDS + WORDS]
+    w = sub[..., S_WORDS : S_WORDS + SUBWORDS]
     hi = w >> _U32(1)
     le0 = _popcount_sum(~(w | hi) & _MASK55 & fmask)
     le1 = _popcount_sum(~hi & _MASK55 & fmask)
     le2 = _popcount_sum(~(hi & w) & _MASK55 & fmask)
 
-    bmask = _bit_masks(off)
-    sent = _bitvec_count(rows, COL_SCNT, bmask)
+    bmask = _bit_masks(off, SUBBITS)
+    sent = sub[..., S_SCNT] + _popcount_sum(
+        sub[..., S_SBITS : S_SBITS + SUBBITS] & bmask
+    )
     if has_n:
-        ncnt = _bitvec_count(rows, _col_ncnt(has_n), bmask)
+        cn = _col_ncnt(has_n)
+        ncnt = sub[..., cn] + _popcount_sum(sub[..., cn + 1 : cn + 1 + SUBBITS] & bmask)
     else:
         ncnt = jnp.zeros_like(sent)
 
-    le0 = rows[..., COL_LE + 0] + le0 - sent - ncnt
-    le1 = rows[..., COL_LE + 1] + le1 - sent - ncnt
-    le2 = rows[..., COL_LE + 2] + le2 - sent - ncnt
+    le0 = sub[..., S_LE + 0] + le0 - sent - ncnt
+    le1 = sub[..., S_LE + 1] + le1 - sent - ncnt
+    le2 = sub[..., S_LE + 2] + le2 - sent - ncnt
     le3 = p - sent - ncnt
-    return le0, le1, le2, le3, sent, ncnt
-
-
-def _occ_smaller(rows: jax.Array, p: jax.Array, has_n: bool) -> tuple[jax.Array, jax.Array]:
-    """Per-character occurrence and smaller-than counts at positions p.
-
-    Returns (occ, smaller), both [..., A] uint32 with A = 4 + has_n:
-      occ[c]     = #{i < p : BWT[i] == c}
-      smaller[c] = #{i < p : BWT[i] < c}  (sentinels count as smallest)
-    """
-    le0, le1, le2, le3, sent, ncnt = occ_counts(rows, p, has_n)
     occ = [le0, le1 - le0, le2 - le1, le3 - le2]
-    smaller = [sent, sent + le0, sent + le1, sent + le2]
     if has_n:
         occ.append(ncnt)
-        smaller.append(sent + le3)
-    return jnp.stack(occ, axis=-1), jnp.stack(smaller, axis=-1)
+    return jnp.stack(occ, axis=-1), sent
+
+
+def _half_sub(rows: jax.Array, q: jax.Array, p: jax.Array, subw: int) -> jax.Array:
+    """Select the sub-row of a gathered paired row that covers position p.
+
+    Correct iff (p >> 9) - q <= 1 (the caller's `far` contract)."""
+    half = ((p >> _U32(9)).astype(_I32) - q) > 0
+    return jnp.where(half[..., None], rows[..., subw:], rows[..., :subw])
+
+
+def _fmd_tail(
+    index: "DeviceIndex",
+    occ_lo: jax.Array,
+    occ_hi: jax.Array,
+    sent_lo: jax.Array,
+    sent_hi: jax.Array,
+    olo: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Shared FMD extension arithmetic from the two bounds' counts."""
+    occ_sl = occ_hi - occ_lo  # per-char counts in the slice [..., A]
+    sent_sl = sent_hi - sent_lo
+    A = occ_lo.shape[-1]
+
+    new_mlo = index.C[:A] + occ_lo
+    new_size = occ_sl
+
+    # companion offsets: suffix sums of real-char slice counts
+    o2 = occ_sl[..., 3]
+    o1 = o2 + occ_sl[..., 2]
+    o0 = o1 + occ_sl[..., 1]
+    offs = [o0, o1, o2, jnp.zeros_like(o2)]
+    if A == 5:
+        offs.append(o0 + occ_sl[..., 0])
+    new_olo = olo[..., None] + sent_sl[..., None] + jnp.stack(offs, axis=-1)
+    return new_mlo, new_size, new_olo
+
+
+def extend_core(
+    index: DeviceIndex,
+    mlo: jax.Array,
+    size: jax.Array,
+    olo: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Direction-agnostic FMD extension core, EXACT for any interval size.
+
+    Gathers one paired row per bound (first half used).  Returns
+    per-DESCENDED-char results; a right extension is obtained by feeding the
+    rc-side interval as `mlo` and permuting the candidate axis by complement
+    (see extend_all).
+    """
+    p = jnp.stack([mlo, mlo + size])  # one fused gather for both bounds
+    q = (p >> _U32(9)).astype(_I32)
+    rows = jnp.take(index.fwd_blocks, q, axis=0)
+    subw = sub_width(index.has_n)
+    occ, sent = _occ_sub(rows[..., :subw], p, index.has_n)
+    return _fmd_tail(index, occ[0], occ[1], sent[0], sent[1], olo)
+
+
+def extend_core_fast(
+    index: DeviceIndex,
+    mlo: jax.Array,
+    size: jax.Array,
+    olo: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One-gather FMD extension: exact iff the interval fits the gathered
+    1024-symbol window (always for size <= 512).
+
+    Returns (new_mlo, new_size, new_olo, far): `far` marks states whose
+    results are NOT valid (interval too wide for the window) — the caller
+    must discard them and escalate (search/engine.py tier escalation).
+    """
+    q = (mlo >> _U32(9)).astype(_I32)
+    rows = jnp.take(index.fwd_blocks, q, axis=0)
+    subw = sub_width(index.has_n)
+    hi = mlo + size
+    far = ((hi >> _U32(9)).astype(_I32) - q) > 1
+    occ_lo, sent_lo = _occ_sub(rows[..., :subw], mlo, index.has_n)
+    occ_hi, sent_hi = _occ_sub(_half_sub(rows, q, hi, subw), hi, index.has_n)
+    nmlo, nsize, nolo = _fmd_tail(index, occ_lo, occ_hi, sent_lo, sent_hi, olo)
+    return nmlo, nsize, nolo, far
 
 
 def extend_all(
@@ -194,45 +276,14 @@ def extend_all(
     return new_mlo, new_size, new_olo
 
 
-def extend_core(
-    index: DeviceIndex,
-    mlo: jax.Array,
-    size: jax.Array,
-    olo: jax.Array,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Direction-agnostic FMD extension core (left-extension semantics).
-
-    Returns per-DESCENDED-char results; a right extension is obtained by
-    feeding the rc-side interval as `mlo` and permuting the candidate axis by
-    complement (see extend_all).  Exposed separately so mixed-direction
-    lockstep steps can share ONE row gather: in FMD both directions read the
-    same table, the direction only changes this cheap post-processing.
-    """
-    p = jnp.stack([mlo, mlo + size])  # one fused gather for both bounds
-    rows = jnp.take(index.fwd_blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
-    occ, sm = _occ_smaller(rows, p, index.has_n)
-    occ_lo, occ_hi = occ[0], occ[1]
-    occ_sl = occ_hi - occ_lo  # per-char counts in the slice [..., A]
-    sent_sl = sm[1][..., 0] - sm[0][..., 0]  # smaller[0] == sentinel count
-    A = occ_lo.shape[-1]
-
-    new_mlo = index.C[:A] + occ_lo
-    new_size = occ_sl
-
-    # companion offsets: suffix sums of real-char slice counts
-    o2 = occ_sl[..., 3]
-    o1 = o2 + occ_sl[..., 2]
-    o0 = o1 + occ_sl[..., 1]
-    offs = [o0, o1, o2, jnp.zeros_like(o2)]
-    if A == 5:
-        offs.append(o0 + occ_sl[..., 0])
-    new_olo = olo[..., None] + sent_sl[..., None] + jnp.stack(offs, axis=-1)
-    return new_mlo, new_size, new_olo
-
-
 def comp_perm(A: int) -> np.ndarray:
     """Complement permutation over the candidate-character axis."""
     return _COMP5 if A == 5 else _COMP4
+
+
+def _bitvec_count(rows: jax.Array, col: int, bmask: jax.Array) -> jax.Array:
+    """Absolute count of a 128-symbol (count, bits[4]) bitvector row."""
+    return rows[..., col] + _popcount_sum(rows[..., col + 1 : col + 1 + BVWORDS] & bmask)
 
 
 def rc_strand_count(index: DeviceIndex, p: jax.Array) -> jax.Array:
@@ -241,24 +292,24 @@ def rc_strand_count(index: DeviceIndex, p: jax.Array) -> jax.Array:
     Used to split an interval's occurrence count by strand: forward-strand
     occurrences of [lo, lo+size) = size - (rc(lo+size) - rc(lo)).
     """
-    rows = jnp.take(index.strand_blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
-    bmask = _bit_masks((p & _U32(127)).astype(jnp.int32))
-    return rows[..., 0] + _popcount_sum(rows[..., 1:5] & bmask)
+    rows = jnp.take(index.strand_blocks, (p >> _U32(7)).astype(_I32), axis=0)
+    bmask = _bit_masks((p & _U32(127)).astype(_I32), BVWORDS)
+    return _bitvec_count(rows, 0, bmask)
 
 
-def bwt_char(rows: jax.Array, p: jax.Array, has_n: bool) -> tuple[jax.Array, jax.Array]:
-    """Read (code, is_sentinel) of BWT position p from its gathered row."""
-    off = (p & _U32(127)).astype(jnp.int32)
+def bwt_char(sub: jax.Array, p: jax.Array, has_n: bool) -> tuple[jax.Array, jax.Array]:
+    """Read (code, is_sentinel) of BWT position p from its covering sub-row."""
+    off = (p & _U32(511)).astype(_I32)
     widx = off >> 4
     wsh = ((off & 15) * 2).astype(_U32)
-    words = rows[..., COL_WORDS : COL_WORDS + WORDS]
+    words = sub[..., S_WORDS : S_WORDS + SUBWORDS]
     word = jnp.take_along_axis(words, widx[..., None], axis=-1)[..., 0]
     code = (word >> wsh) & _U32(3)
     bidx = off >> 5
     bsh = (off & 31).astype(_U32)
     sbit = (
         jnp.take_along_axis(
-            rows[..., COL_SBITS : COL_SBITS + BITWORDS], bidx[..., None], axis=-1
+            sub[..., S_SBITS : S_SBITS + SUBBITS], bidx[..., None], axis=-1
         )[..., 0]
         >> bsh
     ) & _U32(1)
@@ -266,7 +317,7 @@ def bwt_char(rows: jax.Array, p: jax.Array, has_n: bool) -> tuple[jax.Array, jax
         cn = _col_ncnt(has_n)
         nbit = (
             jnp.take_along_axis(
-                rows[..., cn + 1 : cn + 1 + BITWORDS], bidx[..., None], axis=-1
+                sub[..., cn + 1 : cn + 1 + SUBBITS], bidx[..., None], axis=-1
             )[..., 0]
             >> bsh
         ) & _U32(1)
@@ -285,26 +336,28 @@ def locate(index: DeviceIndex, pos: jax.Array, valid: jax.Array) -> tuple[jax.Ar
     hot-path rank gathers never move them.
     """
     has_n = index.has_n
+    subw = sub_width(has_n)
 
     def body(_, carry):
         p, steps, done = carry
-        rows = jnp.take(index.fwd_blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
-        irows = jnp.take(index.ind_blocks, (p >> _U32(7)).astype(jnp.int32), axis=0)
-        off = (p & _U32(127)).astype(jnp.int32)
+        rows = jnp.take(index.fwd_blocks, (p >> _U32(9)).astype(_I32), axis=0)
+        sub = rows[..., :subw]
+        irows = jnp.take(index.ind_blocks, (p >> _U32(7)).astype(_I32), axis=0)
+        off = (p & _U32(127)).astype(_I32)
         bidx = off >> 5
         bsh = (off & 31).astype(_U32)
         ibit = (
             jnp.take_along_axis(
-                irows[..., 1 : 1 + BITWORDS], bidx[..., None], axis=-1
+                irows[..., 1 : 1 + BVWORDS], bidx[..., None], axis=-1
             )[..., 0]
             >> bsh
         ) & _U32(1)
         now_done = (ibit == 1) & ~done
         # LF step for not-done rows
-        code, _sbit = bwt_char(rows, p, has_n)
-        occ, _sm = _occ_smaller(rows, p, has_n)
-        occ_c = jnp.take_along_axis(occ, code.astype(jnp.int32)[..., None], axis=-1)[..., 0]
-        p_next = jnp.take(index.C, code.astype(jnp.int32)) + occ_c
+        code, _sbit = bwt_char(sub, p, has_n)
+        occ, _sent = _occ_sub(sub, p, has_n)
+        occ_c = jnp.take_along_axis(occ, code.astype(_I32)[..., None], axis=-1)[..., 0]
+        p_next = jnp.take(index.C, code.astype(_I32)) + occ_c
         p2 = jnp.where(done | now_done, p, p_next)
         steps2 = jnp.where(done | now_done, steps, steps + 1)
         return p2, steps2, done | now_done
@@ -314,11 +367,11 @@ def locate(index: DeviceIndex, pos: jax.Array, valid: jax.Array) -> tuple[jax.Ar
     p_f, steps_f, _ = jax.lax.fori_loop(0, index.sampling, body, (pos, steps0, done0))
 
     # final: p_f has its indicator bit set (for valid rows); rank -> value idx
-    irows = jnp.take(index.ind_blocks, (p_f >> _U32(7)).astype(jnp.int32), axis=0)
-    off = (p_f & _U32(127)).astype(jnp.int32)
-    bmask = _bit_masks(off)
+    irows = jnp.take(index.ind_blocks, (p_f >> _U32(7)).astype(_I32), axis=0)
+    off = (p_f & _U32(127)).astype(_I32)
+    bmask = _bit_masks(off, BVWORDS)
     irank = _bitvec_count(irows, 0, bmask)
-    vidx = jnp.where(valid, irank, 0).astype(jnp.int32)
+    vidx = jnp.where(valid, irank, 0).astype(_I32)
     i1 = jnp.take(index.sa_i1, vidx)
     i2 = jnp.take(index.sa_i2, vidx) + steps_f
     return i1, i2
@@ -359,14 +412,33 @@ def extract_needles(text: DeviceText, starts: jax.Array, Ln: int, limit) -> jax.
     `starts` are GLOBAL base positions (uint32); `limit` is the exclusive
     end of the current fasta file's bases (traced scalar) — k-mers running
     past it are masked exactly like the host-side extraction did.
+
+    Gathers whole 16-symbol words per block (Ln/16 + 1 word rows instead of
+    Ln single elements — the gather engine charges per gathered row, so this
+    is ~16x cheaper) and unpacks the window with VPU shifts.
     """
+    B = starts.shape[0]
+    nw = (Ln + 15) // 16 + 1  # enough words to cover Ln symbols at any phase
+    w0 = (starts >> _U32(4)).astype(_I32)  # first word index per block
+    widx = w0[:, None] + jnp.arange(nw, dtype=_I32)[None, :]
+    nwords_text = text.words.shape[0]
+    widx = jnp.minimum(widx, nwords_text - 1)
+    words = jnp.take(text.words, widx, axis=0)  # [B, nw]
+
     pos = starts[:, None].astype(_U32) + jnp.arange(Ln, dtype=_U32)[None, :]
     valid = pos < limit
     pc = jnp.minimum(pos, jnp.asarray(text.limit - 1, _U32))
-    w = jnp.take(text.words, (pc >> _U32(4)).astype(jnp.int32), axis=0)
+    rel = (pc >> _U32(4)).astype(_I32) - w0[:, None]  # word slot of each char
+    w = jnp.take_along_axis(words, rel, axis=-1)
     code = (w >> ((pc & _U32(15)) * _U32(2))) & _U32(3)
     if text.has_n:
-        nw = jnp.take(text.nwords, (pc >> _U32(5)).astype(jnp.int32), axis=0)
-        nbit = (nw >> (pc & _U32(31))) & _U32(1)
+        nb = (Ln + 31) // 32 + 1
+        b0 = (starts >> _U32(5)).astype(_I32)
+        bidx = b0[:, None] + jnp.arange(nb, dtype=_I32)[None, :]
+        bidx = jnp.minimum(bidx, text.nwords.shape[0] - 1)
+        nws = jnp.take(text.nwords, bidx, axis=0)  # [B, nb]
+        brel = (pc >> _U32(5)).astype(_I32) - b0[:, None]
+        nw_ = jnp.take_along_axis(nws, brel, axis=-1)
+        nbit = (nw_ >> (pc & _U32(31))) & _U32(1)
         code = jnp.where(nbit == 1, _U32(4), code)
     return jnp.where(valid, code, 0).astype(jnp.uint8)

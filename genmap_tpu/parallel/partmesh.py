@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from genmap_tpu.ops.rank import DeviceIndex
-from genmap_tpu.search.engine import Tier, block_mapper_impl
+from genmap_tpu.search.engine import Tier, block_mapper_impl, exact_prefix_steps
 from genmap_tpu.search.schemes import plans_for
 
 _U32 = jnp.uint32
@@ -47,11 +47,13 @@ def stack_parts(data, mesh: Mesh) -> dict:
     assert mesh.shape["part"] == n_parts, (
         f"mesh part axis {mesh.shape['part']} != {n_parts} index parts"
     )
+    from genmap_tpu.index.fmindex import wide_rows
+
     nbmax = max(p.fwd.blocks.shape[0] for p in parts)
-    ncols = parts[0].fwd.blocks.shape[1]
+    ncols = 2 * parts[0].fwd.blocks.shape[1]
     blocks = np.zeros((n_parts, nbmax, ncols), np.uint32)
     for i, p in enumerate(parts):
-        blocks[i, : p.fwd.blocks.shape[0]] = p.fwd.blocks
+        blocks[i, : p.fwd.blocks.shape[0]] = wide_rows(np.asarray(p.fwd.blocks))
     C = np.stack([p.C.astype(np.uint32) for p in parts])
     sbmax = max(p.strand_blocks.shape[0] for p in parts)
     strand = np.zeros((n_parts, sbmax, parts[0].strand_blocks.shape[1]), np.uint32)
@@ -69,6 +71,7 @@ def stack_parts(data, mesh: Mesh) -> dict:
         n_tot=put(n_tot, P("part")),
         has_n=data.has_n,
         sampling=data.sampling,
+        n_max=max(p.n_total for p in parts),
     )
 
 
@@ -93,6 +96,9 @@ def make_part_mapper(
     infix_off = K - o
     has_n = stacked["has_n"]
     sampling = stacked["sampling"]
+    # conservative: the widest part needs the most exact prefix steps; n_tot
+    # is traced inside the shard_map, so the step split is host-static
+    ex_steps = exact_prefix_steps(stacked["n_max"])
     Ln = K + J - 1
 
     def body(blocks, C, strand, n_tot, dtext, starts, cnt, limit):
@@ -114,7 +120,7 @@ def make_part_mapper(
         out = block_mapper_impl(
             index, needles, cnt, n_tot[0], plans=plans, infix_off=infix_off,
             J=J, K=K, tier=tier, errors=errors, cap=cap, rev_compl=rev_compl,
-            with_states=False,
+            with_states=False, exact_steps=ex_steps,
         )
         # exact cross-part merge over ICI: counts add (parts partition the
         # sequence set; matches never cross sentinels)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from genmap_tpu.ops.rank import DeviceIndex, extend_all
+from genmap_tpu.ops.rank import DeviceIndex
 from genmap_tpu.search.schemes import plans_for
 
 _U32 = jnp.uint32
@@ -39,14 +39,23 @@ _I32 = jnp.int32
 
 @dataclass(frozen=True)
 class Tier:
-    """Frontier capacities: infix search, collected survivors, extension."""
+    """Frontier capacities (infix search, collected survivors, extension) and
+    the gather mode.
+
+    `exact=False` uses the one-gather-per-state fast rank path
+    (ops/rank.py extend_core_fast), which is exact only for intervals that
+    fit the gathered 1024-symbol window; wider intervals flag the block and
+    it re-runs on the next (exact) tier.  Capacity and gather mode only
+    affect speed, never results."""
 
     f_search: int
     f_collect: int
     f_extend: int
+    exact: bool = True
 
 
 DEFAULT_TIERS = (
+    Tier(4, 4, 1, exact=False),
     Tier(4, 4, 1),
     Tier(8, 8, 4),
     Tier(32, 64, 32),
@@ -54,6 +63,19 @@ DEFAULT_TIERS = (
     Tier(2048, 4096, 2048),
     Tier(16384, 32768, 16384),
 )
+
+
+def exact_prefix_steps(n_total: int) -> int:
+    """Number of initial infix steps run on the exact two-gather path in a
+    fast tier: search states start at interval size n_total and shrink ~4x
+    per consumed character, so after ceil(log4(n/64)) steps a typical
+    interval is ~64 — comfortably inside the 512-symbol one-gather window.
+    Repeat-heavy blocks that stay wide longer are caught by the `far` flag
+    and escalate to an exact tier."""
+    import math
+
+    n = max(int(n_total), 1)
+    return max(0, math.ceil(math.log(n / 64, 4))) if n > 64 else 0
 
 
 def _compact(arrays, valid, F):
@@ -90,40 +112,31 @@ def _compact(arrays, valid, F):
     return out, out_valid, overflow
 
 
-def _candidate_step(index, right, flo, rlo, size, err, valid, nch, e_or_u, lreq):
-    """Extend every state by every candidate char; return [..., A] candidates.
-
-    nch broadcasts against the state batch shape; e_or_u/lreq are the error
-    bounds after this step (scalars or broadcastable).
-    """
-    mlo = rlo if right else flo
-    olo = flo if right else rlo
-    nmlo, nsize, nolo = extend_all(index, right, mlo, size, olo)
-    A = nmlo.shape[-1]
-    cand = jnp.arange(A, dtype=_U32)
-    cshape = (1,) * (nch.ndim) + (A,)
-    delta = (cand.reshape(cshape) != nch[..., None]) | (nch[..., None] == 4)
-    err2 = err[..., None] + delta.astype(_I32)
-    valid2 = valid[..., None] & (err2 <= e_or_u) & (err2 >= lreq) & (nsize > 0)
-    nflo = nolo if right else nmlo
-    nrlo = nmlo if right else nolo
-    return nflo, nrlo, nsize, err2, valid2
-
-
-def _candidate_step_dir(index, rightv, flo, rlo, size, err, valid, nch, e_or_u, lreq):
+def _candidate_step_dir(
+    index, rightv, flo, rlo, size, err, valid, nch, e_or_u, lreq, exact=True
+):
     """Mixed-direction candidate step: `rightv` is a per-state bool (or
     broadcastable) choosing the extension side.
 
     Both directions read the SAME FMD table (ops/rank.py), so one row gather
     serves every state regardless of direction — this is what lets left- and
     right-moving lanes run in the same lockstep step (balanced schedules cut
-    the step count ~2-3x; each step's cost is gather-latency-bound).
+    the step count ~2-3x; each step's cost is gather-count-bound).
+
+    With exact=False the one-gather fast rank path is used; states whose
+    interval exceeds the gathered window are reported in the returned `far`
+    mask (their candidates are invalidated — the caller escalates the block).
     """
-    from genmap_tpu.ops.rank import comp_perm, extend_core
+    from genmap_tpu.ops.rank import comp_perm, extend_core, extend_core_fast
 
     mlo = jnp.where(rightv, rlo, flo)
     olo = jnp.where(rightv, flo, rlo)
-    nmlo, nsize, nolo = extend_core(index, mlo, size, olo)
+    if exact:
+        nmlo, nsize, nolo = extend_core(index, mlo, size, olo)
+        far = jnp.zeros(valid.shape, bool)
+    else:
+        nmlo, nsize, nolo, far = extend_core_fast(index, mlo, size, olo)
+        far = far & valid
     A = nmlo.shape[-1]
     perm = jnp.asarray(comp_perm(A))
     rb = rightv[..., None]
@@ -134,8 +147,14 @@ def _candidate_step_dir(index, rightv, flo, rlo, size, err, valid, nch, e_or_u, 
     cshape = (1,) * (nch.ndim) + (A,)
     delta = (cand.reshape(cshape) != nch[..., None]) | (nch[..., None] == 4)
     err2 = err[..., None] + delta.astype(_I32)
-    valid2 = valid[..., None] & (err2 <= e_or_u) & (err2 >= lreq) & (nsz > 0)
-    return nflo, nrlo, nsz, err2, valid2
+    valid2 = (
+        valid[..., None]
+        & (err2 <= e_or_u)
+        & (err2 >= lreq)
+        & (nsz > 0)
+        & ~far[..., None]
+    )
+    return nflo, nrlo, nsz, err2, valid2, far
 
 
 def _flatten2(x):
@@ -170,11 +189,19 @@ def _plan_schedule(plans, infix_off):
     return pos, right, u, lreq
 
 
-def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total):
-    """All search schemes in one lockstep scan; survivors in [B, f_collect]."""
+def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
+                  exact_steps):
+    """All search schemes in one lockstep scan; survivors in [B, f_collect].
+
+    On a fast (non-exact) tier the first `exact_steps` steps — where every
+    state's interval is still wide — run on the exact two-gather rank path;
+    the remaining steps use the one-gather fast path, flagging still-wide
+    states for escalation."""
     F = tier.f_search
     P = len(plans)
     pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
+    T = len(pos_s)
+    S = T if tier.exact else min(T, exact_steps)
 
     flo = jnp.zeros((B, P, F), _U32)
     rlo = jnp.zeros((B, P, F), _U32)
@@ -183,37 +210,44 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total):
     valid = jnp.zeros((B, P, F), bool).at[:, :, 0].set(True)
     ovf = jnp.zeros((B,), bool)
 
-    xs = (
-        jnp.asarray(pos_s),
-        jnp.asarray(right_s),
-        jnp.asarray(u_s),
-        jnp.asarray(lreq_s),
-    )
+    def body_for(exact):
+        def body(carry, x):
+            flo, rlo, size, err, valid, ovf = carry
+            pos, rightv, u, lreq = x  # [P] each
+            nch = needles[:, pos].astype(_U32)  # [B, P]
+            nflo, nrlo, nsize, err2, valid2, far = _candidate_step_dir(
+                index,
+                rightv[:, None],
+                flo,
+                rlo,
+                size,
+                err,
+                valid,
+                nch[:, :, None],
+                u[:, None, None],
+                lreq[:, None, None],
+                exact=exact,
+            )
+            arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
+            v = _flatten2(valid2)
+            (flo, rlo, size, err), valid, of = _compact(arrays, v, F)
+            ovf = ovf | of.any(axis=-1) | far.any(axis=(-2, -1))
+            return (flo, rlo, size, err, valid, ovf), None
 
-    def body(carry, x):
-        flo, rlo, size, err, valid, ovf = carry
-        pos, rightv, u, lreq = x  # [P] each
-        nch = needles[:, pos].astype(_U32)  # [B, P]
-        nflo, nrlo, nsize, err2, valid2 = _candidate_step_dir(
-            index,
-            rightv[:, None],
-            flo,
-            rlo,
-            size,
-            err,
-            valid,
-            nch[:, :, None],
-            u[:, None, None],
-            lreq[:, None, None],
+        return body
+
+    carry = (flo, rlo, size, err, valid, ovf)
+    for lo, hi, exact in ((0, S, True), (S, T, False)):
+        if lo == hi:
+            continue
+        xs = (
+            jnp.asarray(pos_s[lo:hi]),
+            jnp.asarray(right_s[lo:hi]),
+            jnp.asarray(u_s[lo:hi]),
+            jnp.asarray(lreq_s[lo:hi]),
         )
-        arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
-        v = _flatten2(valid2)
-        (flo, rlo, size, err), valid, of = _compact(arrays, v, F)
-        return (flo, rlo, size, err, valid, ovf | of.any(axis=-1)), None
-
-    (flo, rlo, size, err, valid, ovf), _ = jax.lax.scan(
-        body, (flo, rlo, size, err, valid, ovf), xs
-    )
+        carry, _ = jax.lax.scan(body_for(exact), carry, xs)
+    flo, rlo, size, err, valid, ovf = carry
 
     # merge plan lanes into the collection frontier
     Fc = tier.f_collect
@@ -225,7 +259,8 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total):
     return (c_flo, c_rlo, c_size, c_err, c_valid), ovf
 
 
-def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors):
+def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors,
+               exact):
     """One mixed-direction extension scan over a [B, M, Fe] frontier.
 
     pos_arr / right_arr / act_arr: [T, M] static needle position, direction
@@ -246,9 +281,9 @@ def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors):
         flo, rlo, size, err, valid, ovf = carry
         pos, rightv, act = x  # [M] each
         nch = needles[:, pos].astype(_U32)[:, :, None]  # [B, M, 1]
-        nflo, nrlo, nsize, err2, valid2 = _candidate_step_dir(
+        nflo, nrlo, nsize, err2, valid2, far = _candidate_step_dir(
             index, rightv[None, :, None], flo, rlo, size, err, valid, nch,
-            errors, 0,
+            errors, 0, exact=exact,
         )
         A = nflo.shape[-1]
         actb = act[None, :, None, None]
@@ -262,7 +297,8 @@ def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors):
         arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
         v = _flatten2(valid2)
         (flo, rlo, size, err), valid, of = _compact(arrays, v, Fe)
-        return (flo, rlo, size, err, valid, ovf | of.any(axis=-1)), None
+        ovf = ovf | of.any(axis=-1) | (far & act[None, :, None]).any(axis=(-2, -1))
+        return (flo, rlo, size, err, valid, ovf), None
 
     state, _ = jax.lax.scan(body, state, xs)
     return state
@@ -294,71 +330,87 @@ def _balanced_schedule(n_right, n_left, pos_right, pos_left):
     return pos, right, act
 
 
-def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors,
-                     group: int | None = None):
+def _tree_levels(J: int, K: int) -> list:
+    """Binary doubling-split plan over the k-mer range [0, J).
+
+    Returns a list of levels; each level is (pmap, n_right, n_left,
+    pos_right, pos_left) describing how every child slot derives from its
+    parent (pmap) and which needle chars it consumes in each direction.
+    A node covering k-mers [a, b) holds the needle span [b-1, a+K) — the
+    longest span common to all its k-mers; splitting at m = (a+b)//2 extends
+    the left child [a, m) LEFTWARD by b-m chars (positions b-2 .. m-1) and
+    the right child [m, b) RIGHTWARD by m-a chars (positions a+K .. m+K-1).
+    Size-1 nodes pass through unchanged so the final leaf order is 0..J-1."""
+    levels = []
+    nodes = [(0, J)]
+    while any(b - a > 1 for a, b in nodes):
+        pmap, children = [], []
+        n_right, n_left, pos_right, pos_left = [], [], [], []
+        for i, (a, b) in enumerate(nodes):
+            if b - a == 1:
+                pmap.append(i)
+                children.append((a, b))
+                n_right.append(0)
+                n_left.append(0)
+                pos_right.append([])
+                pos_left.append([])
+            else:
+                m = (a + b) // 2
+                pmap.append(i)
+                children.append((a, m))
+                n_right.append(0)
+                n_left.append(b - m)
+                pos_right.append([])
+                pos_left.append([b - 2 - t for t in range(b - m)])
+                pmap.append(i)
+                children.append((m, b))
+                n_right.append(m - a)
+                n_left.append(0)
+                pos_right.append([a + K + t for t in range(m - a)])
+                pos_left.append([])
+        levels.append(
+            (np.asarray(pmap, np.int32), n_right, n_left, pos_right, pos_left)
+        )
+        nodes = children
+    assert nodes == [(j, j + 1) for j in range(J)]
+    return levels
+
+
+def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
     """Extend infix survivors to every k-mer window of each block.
 
     k-mer j covers needle positions [j, j+K); the infix covers [J-1, K).
-    A two-level hierarchy shares extension work between adjacent k-mers —
-    the lockstep counterpart of the reference's doubling extension
-    (algo.hpp:26-218): first extend the infix state to the common span of
-    each GROUP of g adjacent k-mers ([chi-1, clo+K) for group [clo, chi)),
-    then from each group state to the individual windows.  Each phase runs
-    right- and left-moving slots in the same balanced scan.
+    The lockstep counterpart of the reference's doubling extension
+    (algo.hpp:26-218) is a binary tree over the k-mer range (_tree_levels):
+    each level doubles the node count while halving the per-node char count,
+    so total extension gathers are ~2·log2(J) per k-mer instead of the
+    ~4·sqrt(J) of a flat two-level grouping — and left- and right-moving
+    slots share each step's single row gather (_candidate_step_dir).
     """
     Fe = tier.f_extend
     s_flo, s_rlo, s_size, s_err, s_valid = survivors
     ovf0 = jnp.zeros((B,), bool)
 
-    # compact survivors into Fe slots (root frontier)
+    # compact survivors into Fe slots (root frontier = node covering [0, J))
     arrays = (s_flo, s_rlo, s_size, s_err)
     (r_flo, r_rlo, r_size, r_err), r_valid, of = _compact(arrays, s_valid, Fe)
     ovf0 = ovf0 | of
 
-    if group is None:
-        group = max(1, int(np.sqrt(J)))
-    g = min(group, J)
-    G = -(-J // g)
-    gi = np.arange(G)
-    clo_g, chi_g = gi * g, np.minimum(gi * g + g, J)
-
-    def broadcast_m(a, M):
-        return jnp.broadcast_to(a[:, None, :], (B, M, Fe))
-
-    if G > 1:
-        state = (
-            broadcast_m(r_flo, G), broadcast_m(r_rlo, G), broadcast_m(r_size, G),
-            broadcast_m(r_err, G), broadcast_m(r_valid, G), ovf0,
-        )
-        # group gi: right chars K .. clo+K-1, left chars J-2 down to chi-1
-        pos, right, act = _balanced_schedule(
-            clo_g,
-            J - chi_g,
-            [[K + t for t in range(int(c))] for c in clo_g],
-            [[J - 2 - t for t in range(int(J - ch))] for ch in chi_g],
-        )
-        state = _ext_phase(index, state, needles, pos, right, act, Fe, errors)
-        flo, rlo, size, err, valid, ovf = state
-        jmap = jnp.asarray(np.arange(J) // g, dtype=_I32)
-        state = tuple(jnp.take(a, jmap, axis=1) for a in (flo, rlo, size, err, valid))
-        state = state + (ovf,)
-    else:
-        state = (
-            broadcast_m(r_flo, J), broadcast_m(r_rlo, J), broadcast_m(r_size, J),
-            broadcast_m(r_err, J), broadcast_m(r_valid, J), ovf0,
-        )
-
-    jj = np.arange(J)
-    clo_j, chi_j = (jj // g) * g, np.minimum((jj // g) * g + g, J)
-    # kmer j: right chars clo_j+K .. j+K-1, left chars chi_j-2 down to j
-    pos, right, act = _balanced_schedule(
-        jj - clo_j,
-        chi_j - 1 - jj,
-        [[int(c) + K + t for t in range(int(n))] for c, n in zip(clo_j, jj - clo_j)],
-        [[int(ch) - 2 - t for t in range(int(n))] for ch, n in zip(chi_j, chi_j - 1 - jj)],
+    state = (
+        r_flo[:, None, :], r_rlo[:, None, :], r_size[:, None, :],
+        r_err[:, None, :], r_valid[:, None, :], ovf0,
     )
-    if len(pos):
-        state = _ext_phase(index, state, needles, pos, right, act, Fe, errors)
+
+    for pmap, n_right, n_left, pos_right, pos_left in _tree_levels(J, K):
+        flo, rlo, size, err, valid, ovf = state
+        jm = jnp.asarray(pmap)
+        state = tuple(
+            jnp.take(a, jm, axis=1) for a in (flo, rlo, size, err, valid)
+        ) + (ovf,)
+        pos, right, act = _balanced_schedule(n_right, n_left, pos_right, pos_left)
+        if len(pos):
+            state = _ext_phase(index, state, needles, pos, right, act, Fe,
+                               errors, tier.exact)
 
     flo, rlo, size, err, valid, ovf = state
     return (flo, rlo, size, err, valid), ovf
@@ -366,15 +418,18 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors,
 
 def block_mapper_impl(
     index, needles, cnt, n_total, *, plans, infix_off, J, K, tier, errors,
-    cap, rev_compl, with_states,
+    cap, rev_compl, with_states, exact_steps=64,
 ):
     """One batch of the block mapper (shared by the single-part, data-sharded
     and part-sharded paths; `n_total` may be a traced scalar under the
-    part-sharded mesh)."""
+    part-sharded mesh — `exact_steps` must then be computed host-side from
+    the largest part)."""
     from genmap_tpu.ops.rank import rc_strand_count
 
     Bl = needles.shape[0]  # local batch (per shard under shard_map)
-    survivors, ovf1 = _search_infix(index, plans, infix_off, needles, Bl, tier, n_total)
+    survivors, ovf1 = _search_infix(
+        index, plans, infix_off, needles, Bl, tier, n_total, exact_steps
+    )
     states, ovf2 = _extend_to_kmers(index, survivors, needles, Bl, J, K, tier, errors)
     flo, rlo, size, err, valid = states
     ovf = ovf1 | ovf2
@@ -449,6 +504,7 @@ def make_block_mapper(
     plans = plans_for(errors, o)
     infix_off = K - o
     n_total = index.n_total
+    ex_steps = exact_prefix_steps(n_total)
 
     from genmap_tpu.ops.rank import extract_needles
 
@@ -459,7 +515,7 @@ def make_block_mapper(
         return block_mapper_impl(
             index, needles, cnt, n_total, plans=plans, infix_off=infix_off,
             J=J, K=K, tier=tier, errors=errors, cap=cap, rev_compl=rev_compl,
-            with_states=with_states,
+            with_states=with_states, exact_steps=ex_steps,
         )
 
     if mesh is None:
