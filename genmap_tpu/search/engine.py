@@ -191,52 +191,68 @@ def _plan_schedule(plans, infix_off):
 
 def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
                   exact_steps):
-    """All search schemes in one lockstep scan; survivors in [B, f_collect].
+    """All search schemes over one flat per-block state POOL.
+
+    Every state carries its plan id; per-step plan attributes (needle
+    position, direction, error bounds) are selected per state with a small
+    one-hot product over the P plans (pure VPU work, no gathers).  Pooling
+    matters because the gather engine charges per state SLOT: measured at
+    (100,2) the per-plan frontiers held ~1 valid state each, so a pool of
+    max(f_search, P+1) slots gathers ~2-3x fewer rows than P separate
+    f_search-slot frontiers.  Pool overflow escalates the block to a
+    roomier tier, exactly like any other capacity overflow.
 
     On a fast (non-exact) tier the first `exact_steps` steps — where every
     state's interval is still wide — run on the exact two-gather rank path;
     the remaining steps use the one-gather fast path, flagging still-wide
     states for escalation."""
-    F = tier.f_search
     P = len(plans)
+    Fp = max(tier.f_search, P + 1)
     pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
     T = len(pos_s)
     S = T if tier.exact else min(T, exact_steps)
 
-    flo = jnp.zeros((B, P, F), _U32)
-    rlo = jnp.zeros((B, P, F), _U32)
-    size = jnp.zeros((B, P, F), _U32).at[:, :, 0].set(_U32(n_total))
-    err = jnp.zeros((B, P, F), _I32)
-    valid = jnp.zeros((B, P, F), bool).at[:, :, 0].set(True)
+    slot_plan = jnp.arange(Fp, dtype=_I32) % P
+    flo = jnp.zeros((B, Fp), _U32)
+    rlo = jnp.zeros((B, Fp), _U32)
+    size = jnp.where(jnp.arange(Fp) < P, _U32(n_total), _U32(0)) * jnp.ones(
+        (B, 1), _U32
+    )
+    err = jnp.zeros((B, Fp), _I32)
+    plan = jnp.broadcast_to(slot_plan, (B, Fp))
+    valid = jnp.broadcast_to(jnp.arange(Fp) < P, (B, Fp))
     ovf = jnp.zeros((B,), bool)
+
+    pids = jnp.arange(P, dtype=_I32)
 
     def body_for(exact):
         def body(carry, x):
-            flo, rlo, size, err, valid, ovf = carry
+            flo, rlo, size, err, plan, valid, ovf = carry
             pos, rightv, u, lreq = x  # [P] each
-            nch = needles[:, pos].astype(_U32)  # [B, P]
+            nch_cands = needles[:, pos].astype(_U32)  # [B, P]
+            ph = plan[..., None] == pids  # [B, Fp, P]
+            phu = ph.astype(_U32)
+            rv = (ph & rightv).any(axis=-1)
+            u_st = (ph * u).sum(axis=-1)
+            lreq_st = (ph * lreq).sum(axis=-1)
+            nch = (phu * nch_cands[:, None, :]).sum(axis=-1)
             nflo, nrlo, nsize, err2, valid2, far = _candidate_step_dir(
-                index,
-                rightv[:, None],
-                flo,
-                rlo,
-                size,
-                err,
-                valid,
-                nch[:, :, None],
-                u[:, None, None],
-                lreq[:, None, None],
-                exact=exact,
+                index, rv, flo, rlo, size, err, valid, nch,
+                u_st[..., None], lreq_st[..., None], exact=exact,
             )
-            arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
+            A = nflo.shape[-1]
+            plan_c = jnp.broadcast_to(plan[..., None], plan.shape + (A,))
+            arrays = tuple(
+                _flatten2(a) for a in (nflo, nrlo, nsize, err2, plan_c)
+            )
             v = _flatten2(valid2)
-            (flo, rlo, size, err), valid, of = _compact(arrays, v, F)
-            ovf = ovf | of.any(axis=-1) | far.any(axis=(-2, -1))
-            return (flo, rlo, size, err, valid, ovf), None
+            (flo, rlo, size, err, plan), valid, of = _compact(arrays, v, Fp)
+            ovf = ovf | of | far.any(axis=-1)
+            return (flo, rlo, size, err, plan, valid, ovf), None
 
         return body
 
-    carry = (flo, rlo, size, err, valid, ovf)
+    carry = (flo, rlo, size, err, plan, valid, ovf)
     for lo, hi, exact in ((0, S, True), (S, T, False)):
         if lo == hi:
             continue
@@ -247,16 +263,8 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
             jnp.asarray(lreq_s[lo:hi]),
         )
         carry, _ = jax.lax.scan(body_for(exact), carry, xs)
-    flo, rlo, size, err, valid, ovf = carry
-
-    # merge plan lanes into the collection frontier
-    Fc = tier.f_collect
-    arrays = tuple(a.reshape(B, P * F) for a in (flo, rlo, size, err))
-    (c_flo, c_rlo, c_size, c_err), c_valid, of2 = _compact(
-        arrays, valid.reshape(B, P * F), Fc
-    )
-    ovf = ovf | of2
-    return (c_flo, c_rlo, c_size, c_err, c_valid), ovf
+    flo, rlo, size, err, plan, valid, ovf = carry
+    return (flo, rlo, size, err, valid), ovf
 
 
 def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors,
