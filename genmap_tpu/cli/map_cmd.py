@@ -121,7 +121,10 @@ def map_main(argv: list[str]) -> int:
         return 1
 
     engine = MappabilityEngine(
-        data, batch_blocks=args.batch_blocks, batch_kmers=args.batch_kmers
+        data, batch_blocks=args.batch_blocks, batch_kmers=args.batch_kmers,
+        # SA samples / locate are only read by the CSV and exclude-pseudo
+        # paths; skipping their upload saves several GB of HBM at hg38 scale
+        light=not (args.csv or args.exclude_pseudo),
     )
     params = SearchParams(
         length=K,

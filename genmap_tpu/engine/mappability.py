@@ -104,10 +104,12 @@ class MappabilityEngine:
         mesh=None,
         batch_kmers: int = 0,
         dedup: bool = True,
+        light: bool = False,
     ):
         self.data = data
         self.batch_kmers = batch_kmers
         self.dedup = dedup
+        self.light = light
         self.mesh = mesh
         self.part_sharded = mesh is not None and "part" in getattr(
             mesh, "axis_names", ()
@@ -128,7 +130,9 @@ class MappabilityEngine:
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self._mesh_data = mesh.shape["data"]
         else:
-            self.indices = [DeviceIndex.from_part(data, p) for p in data.parts]
+            self.indices = [
+                DeviceIndex.from_part(data, p, light=light) for p in data.parts
+            ]
             if mesh is not None:
                 from genmap_tpu.parallel.mesh import batch_sharding, replicate_index
 
@@ -210,6 +214,12 @@ class MappabilityEngine:
 
     def locate_many(self, pi: int, positions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Resolve part SA rows to GLOBAL (seq_no, seq_pos), chunked on device."""
+        if self.light:
+            raise RuntimeError(
+                "locate is unavailable on a light engine (SA samples were not "
+                "uploaded); construct MappabilityEngine(light=False) for "
+                "CSV/exclude-pseudo runs"
+            )
         n = len(positions)
         i1 = np.empty(n, dtype=np.uint32)
         i2 = np.empty(n, dtype=np.uint32)

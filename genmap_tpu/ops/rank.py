@@ -87,14 +87,21 @@ class DeviceIndex:
         return 5 if self.has_n else 4
 
     @staticmethod
-    def from_part(data: FMIndexData, part: IndexPart) -> "DeviceIndex":
+    def from_part(
+        data: FMIndexData, part: IndexPart, light: bool = False
+    ) -> "DeviceIndex":
+        """Upload one part.  `light=True` skips the sampled-SA values and the
+        sampling-indicator rank rows — several GB at hg38 scale that only
+        `locate` (CSV / exclude-pseudo) reads."""
         return DeviceIndex(
             fwd_blocks=jnp.asarray(wide_rows(np.asarray(part.fwd.blocks))),
             C=jnp.asarray(part.C.astype(np.uint32)),
-            sa_i1=jnp.asarray(part.sa_i1),
-            sa_i2=jnp.asarray(part.sa_i2),
+            sa_i1=jnp.zeros(1, _U32) if light else jnp.asarray(part.sa_i1),
+            sa_i2=jnp.zeros(1, _U32) if light else jnp.asarray(part.sa_i2),
             strand_blocks=jnp.asarray(part.strand_blocks),
-            ind_blocks=jnp.asarray(part.ind_blocks),
+            ind_blocks=jnp.zeros((1, 5), _U32)
+            if light
+            else jnp.asarray(part.ind_blocks),
             has_n=data.has_n,
             sampling=data.sampling,
             n_total=part.n_total,

@@ -129,7 +129,7 @@ def main() -> None:
     # ---- map a chr21-sized selection at (30,2) -------------------------
     from genmap_tpu.cli.map_cmd import default_overlap
 
-    eng = MappabilityEngine(data, batch_blocks=args.batch_blocks)
+    eng = MappabilityEngine(data, batch_blocks=args.batch_blocks, light=True)
     layout = eng.layouts[0]
     # "chr21" of the synthetic genome: sequence index 20
     chr21 = 20
