@@ -329,10 +329,41 @@ class MappabilityEngine:
         # staying under the remote relay's request-pipeline limit (the
         # reference's analog is OpenMP dynamic scheduling, algo.hpp:434-439)
         window = 4 if csv_needed else 8
-        for t_i, tier in enumerate(self.tiers):
+
+        # per-block device cost scales with the infix pool schedule plus the
+        # extension frontier; shrink batches on heavy configs/tiers so a
+        # batch's state tensors stay within device memory
+        import dataclasses
+
+        from genmap_tpu.search.engine import (
+            extension_extra_estimate,
+            infix_pool_schedule,
+        )
+        from genmap_tpu.search.schemes import plans_for
+
+        plans = plans_for(errors, o)
+        n_max = max(p.n_total for p in self.data.parts)
+
+        def block_cost(tier):
+            pools = infix_pool_schedule(plans, K - o, n_max, tier.f_search / 4.0)
+            return int(pools.sum()) + 2 * J * tier.f_extend
+
+        tiers = list(self.tiers)
+        if (
+            tiers[0].f_extend < 4
+            and extension_extra_estimate(plans, K - o, n_max) > 0.02
+        ):
+            # branch survivors of the infix are expected: start the extension
+            # frontier at 4 slots instead of overflowing most blocks
+            tiers[0] = dataclasses.replace(tiers[0], f_extend=4)
+
+        # ~8M state-slot-steps per batch keeps per-step gather/state tensors
+        # in a healthy range across configs (B0 itself caps light configs)
+        WORK = 1 << 23
+        for t_i, tier in enumerate(tiers):
             if len(pending) == 0:
                 break
-            B = max(8, B0 * self.tiers[0].f_extend // tier.f_extend)
+            B = max(8, min(B0, WORK // max(1, block_cost(tier))))
             if self.mesh is not None:
                 n = self._mesh_data
                 B = max(n, -(-B // n) * n)

@@ -67,6 +67,16 @@ _COMP4 = np.array([3, 2, 1, 0], dtype=np.int32)
 _COMP5 = np.array([3, 2, 1, 0, 4], dtype=np.int32)
 
 
+SEED_T0 = 8  # max seeded prefix length; tables hold all levels 0..SEED_T0
+
+
+def seed_level_offset(t: int) -> int:
+    """Start of the level-t block in the concatenated seed tables: levels are
+    stored back to back, level t holding 4^t entries in big-endian code
+    order (code(w) = sum w_i * 4^(t-1-i))."""
+    return (4**t - 1) // 3
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DeviceIndex:
@@ -78,9 +88,17 @@ class DeviceIndex:
     sa_i2: jax.Array
     strand_blocks: jax.Array  # [nb128, 5] uint32: rc-strand ranks over SA rows
     ind_blocks: jax.Array  # [nb128, 5] uint32: SA-sampling indicator ranks
+    # interval seed tables over all ACGT strings of length 0..SEED_T0
+    # (levels concatenated, see seed_level_offset); length-1 array = disabled
+    seed_mlo: jax.Array
+    seed_size: jax.Array
     has_n: bool = field(metadata={"static": True})
     sampling: int = field(metadata={"static": True})
     n_total: int = field(metadata={"static": True})
+
+    @property
+    def has_seed(self) -> bool:
+        return self.seed_mlo.shape[0] > 1
 
     @property
     def nchars(self) -> int:
@@ -93,7 +111,7 @@ class DeviceIndex:
         """Upload one part.  `light=True` skips the sampled-SA values and the
         sampling-indicator rank rows — several GB at hg38 scale that only
         `locate` (CSV / exclude-pseudo) reads."""
-        return DeviceIndex(
+        index = DeviceIndex(
             fwd_blocks=jnp.asarray(wide_rows(np.asarray(part.fwd.blocks))),
             C=jnp.asarray(part.C.astype(np.uint32)),
             sa_i1=jnp.zeros(1, _U32) if light else jnp.asarray(part.sa_i1),
@@ -102,10 +120,13 @@ class DeviceIndex:
             ind_blocks=jnp.zeros((1, 5), _U32)
             if light
             else jnp.asarray(part.ind_blocks),
+            seed_mlo=jnp.zeros(1, _U32),
+            seed_size=jnp.zeros(1, _U32),
             has_n=data.has_n,
             sampling=data.sampling,
             n_total=part.n_total,
         )
+        return with_seed_tables(index)
 
     @staticmethod
     def from_host(data: FMIndexData) -> "DeviceIndex":
@@ -286,6 +307,43 @@ def extend_all(
 def comp_perm(A: int) -> np.ndarray:
     """Complement permutation over the candidate-character axis."""
     return _COMP5 if A == 5 else _COMP4
+
+
+def with_seed_tables(index: DeviceIndex, t0: int = SEED_T0) -> DeviceIndex:
+    """Attach interval seed tables: the FMD interval of EVERY ACGT string of
+    length 0..t0, levels concatenated (seed_level_offset).
+
+    Every optimal search scheme starts with an exact block, so the first
+    few steps of every block's infix search descend a single exact path —
+    a pure function of the needle window.  Seeding replaces those steps
+    (and their rank-row gathers) with one table lookup per plan
+    (search/engine.py).  Only (lo, size) are stored: the companion offset
+    of w is seed_mlo[code(rc(w))] by strand symmetry.  Built on device in
+    O(4^t0) extension states (~milliseconds); 2 x 87k uint32 per part.
+    """
+    import dataclasses
+
+    n = index.n_total
+
+    @jax.jit
+    def build(index):
+        mlo = jnp.zeros(1, _U32)
+        size = jnp.full(1, jnp.uint32(n))
+        mlo_parts, size_parts = [mlo], [size]
+        for t in range(t0):
+            # companion offsets are not tracked (olo output unused)
+            nm, ns, _ = extend_all(
+                index, False, mlo, size, jnp.zeros_like(mlo)
+            )
+            # prepending char c: code(c.w) = c*4^t + code(w) -> c-major order
+            mlo = nm[:, :4].T.reshape(-1)
+            size = ns[:, :4].T.reshape(-1)
+            mlo_parts.append(mlo)
+            size_parts.append(size)
+        return jnp.concatenate(mlo_parts), jnp.concatenate(size_parts)
+
+    seed_mlo, seed_size = build(index)
+    return dataclasses.replace(index, seed_mlo=seed_mlo, seed_size=seed_size)
 
 
 def _bitvec_count(rows: jax.Array, col: int, bmask: jax.Array) -> jax.Array:

@@ -113,6 +113,8 @@ def make_part_mapper(
             sa_i2=jnp.zeros((1,), _U32),
             strand_blocks=strand[0],
             ind_blocks=jnp.zeros((1, 5), _U32),
+            seed_mlo=jnp.zeros((1,), _U32),  # seeding off on the part mesh
+            seed_size=jnp.zeros((1,), _U32),
             has_n=has_n,
             sampling=sampling,
             n_total=0,  # unused: the traced n_tot[0] is passed explicitly
@@ -120,7 +122,7 @@ def make_part_mapper(
         out = block_mapper_impl(
             index, needles, cnt, n_tot[0], plans=plans, infix_off=infix_off,
             J=J, K=K, tier=tier, errors=errors, cap=cap, rev_compl=rev_compl,
-            with_states=False, exact_steps=ex_steps,
+            with_states=False, exact_steps=ex_steps, n_static=stacked["n_max"],
         )
         # exact cross-part merge over ICI: counts add (parts partition the
         # sequence set; matches never cross sentinels)

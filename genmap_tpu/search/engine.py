@@ -57,12 +57,57 @@ class Tier:
 DEFAULT_TIERS = (
     Tier(4, 4, 1, exact=False),
     Tier(4, 4, 1),
-    Tier(8, 8, 4),
-    Tier(32, 64, 32),
-    Tier(256, 512, 256),
-    Tier(2048, 4096, 2048),
-    Tier(16384, 32768, 16384),
+    Tier(32, 64, 8),
+    Tier(256, 512, 64),
+    Tier(2048, 4096, 512),
+    Tier(16384, 32768, 4096),
 )
+
+
+_POOL_LADDER = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+
+
+def _quant4(v: float, cap: int = 16384) -> int:
+    for q in _POOL_LADDER:
+        if q >= v or q >= cap:
+            return min(q, cap)
+    return cap
+
+
+def infix_pool_schedule(plans, infix_off, n_total, scale: float = 1.0):
+    """Static per-step infix pool sizes.
+
+    The lockstep frontier's live-state count is predictable: branch states
+    exist only where a scheme's u-bound allows errors, their number is
+    bounded by the error-placement combinatorics, and a branch pattern of
+    length t survives (size > 0) with probability ~min(1, 2n/4^t).  Sizing
+    the pool per STEP from this estimate (x2 safety, quantized to powers of
+    4) instead of using one flat capacity is what makes short-infix configs
+    like (20,1) or (30,2) — where every block's frontier legitimately peaks
+    at tens to hundreds of states mid-search — run in one pass instead of
+    escalating through the whole tier ladder.  Capacity still only affects
+    speed: actual overflow beyond the schedule escalates as before.
+    """
+    import math
+
+    pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
+    T, P = u_s.shape
+    h = np.zeros(P, np.int64)
+    pools = np.zeros(T, np.int64)
+    floor = _quant4(P + 1)
+    for t in range(T):
+        q = min(1.0, 2.0 * float(n_total) / 4.0 ** (t + 1))
+        branch = 0.0
+        for p in range(P):
+            if u_s[t, p] > 0:
+                h[p] += 1
+            b = sum(
+                math.comb(int(h[p]), j) * 3**j for j in range(int(u_s[t, p]) + 1)
+            )
+            branch += (b - 1) * q  # branches decay with presence; the
+            # on-genome state of each plan always survives (the +P below)
+        pools[t] = max(floor, _quant4((P + 1 + 2.0 * branch) * scale))
+    return pools
 
 
 def exact_prefix_steps(n_total: int) -> int:
@@ -82,12 +127,24 @@ def _compact(arrays, valid, F):
     """Keep (up to) F valid states; returns (arrays, valid, overflowed).
 
     Order-free compaction (hit order never matters: counts are saturating
-    sums) via prefix-sum ranks and one-hot masked SUMS — all dense VPU work.
-    Scatter (round 1) and sort/top_k lower to serialized/slow TPU code;
-    the [..., F, M] one-hot products stay small because F and M are small.
+    sums).  Two regimes:
+      * small frontiers: prefix-sum ranks + one-hot masked SUMS — dense VPU
+        work, O(M*F) per state row (scatter lowers serially on TPU)
+      * large frontiers (the (30,2)-class pool schedules): the one-hot
+        product is quadratic in pool size, so a stable multi-operand sort
+        on the validity key packs valid states instead, O(M log^2 M)
     """
     M = valid.shape[-1]
     nvalid = valid.sum(axis=-1, dtype=_I32)
+    if F >= 64 or M >= 512:
+        key = (~valid).astype(jnp.uint8)
+        sorted_ops = jax.lax.sort(
+            (key,) + tuple(a for a in arrays), dimension=-1, is_stable=True,
+            num_keys=1,
+        )
+        out = tuple(a[..., :F] for a in sorted_ops[1:])
+        out_valid = jnp.arange(F, dtype=_I32) < nvalid[..., None]
+        return out, out_valid, nvalid > F
     if F == 1:
         # select the first valid candidate via a one-hot sum
         first = jnp.argmax(valid, axis=-1)
@@ -189,8 +246,27 @@ def _plan_schedule(plans, infix_off):
     return pos, right, u, lreq
 
 
+def extension_extra_estimate(plans, infix_off, n_total) -> float:
+    """Expected count of non-primary infix survivors (error-branch patterns
+    of the full infix still present in the genome).  When this is
+    non-negligible — short infixes relative to log4(n), e.g. (20,1) or small
+    (K,e) — the extension frontier routinely holds 2+ states and tier 0
+    should start at f_extend=4 instead of overflowing ~10-30% of blocks."""
+    import math
+
+    _pos, _right, u_s, _lreq = _plan_schedule(plans, infix_off)
+    T, P = u_s.shape
+    q = min(1.0, 2.0 * float(n_total) / 4.0**T)
+    extra = 0.0
+    for p in range(P):
+        h = int((u_s[:, p] > 0).sum())
+        b = sum(math.comb(h, j) * 3**j for j in range(int(u_s[T - 1, p]) + 1))
+        extra += (b - 1) * q
+    return extra
+
+
 def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
-                  exact_steps):
+                  exact_steps, n_static):
     """All search schemes over one flat per-block state POOL.
 
     Every state carries its plan id; per-step plan attributes (needle
@@ -207,30 +283,72 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
     the remaining steps use the one-gather fast path, flagging still-wide
     states for escalation."""
     P = len(plans)
-    Fp = max(tier.f_search, P + 1)
     pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
     T = len(pos_s)
     S = T if tier.exact else min(T, exact_steps)
+    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0)
+
+    # seeded prefix: every OSS plan starts with an exact (u==0) block, so
+    # the first t_seed steps descend a single deterministic path per plan —
+    # replaced by one interval-table lookup per plan (ops/rank.py
+    # with_seed_tables) instead of t_seed rounds of rank-row gathers
+    from genmap_tpu.ops.rank import SEED_T0, seed_level_offset
+
+    t_seed = 0
+    if index.has_seed:
+        t_seed = min(SEED_T0, T)
+        while t_seed > 0 and u_s[:t_seed].max() > 0:
+            t_seed -= 1
+    S = max(S, t_seed)
+    Fp = int(pools[t_seed]) if t_seed < T else int(pools[-1])
 
     slot_plan = jnp.arange(Fp, dtype=_I32) % P
-    flo = jnp.zeros((B, Fp), _U32)
-    rlo = jnp.zeros((B, Fp), _U32)
-    size = jnp.where(jnp.arange(Fp) < P, _U32(n_total), _U32(0)) * jnp.ones(
-        (B, 1), _U32
-    )
-    err = jnp.zeros((B, Fp), _I32)
     plan = jnp.broadcast_to(slot_plan, (B, Fp))
-    valid = jnp.broadcast_to(jnp.arange(Fp) < P, (B, Fp))
+    err = jnp.zeros((B, Fp), _I32)
     ovf = jnp.zeros((B,), bool)
+    if t_seed > 0:
+        off = seed_level_offset(t_seed)
+        pw = (4 ** np.arange(t_seed - 1, -1, -1, dtype=np.int64)).astype(np.uint32)
+        mlos, sizes, olos, valids = [], [], [], []
+        for p in range(P):
+            a_p = int(pos_s[:t_seed, p].min())
+            w = needles[:, a_p : a_p + t_seed].astype(_U32)  # [B, t_seed]
+            okw = (w < 4).all(axis=-1)
+            code = (jnp.minimum(w, 3) * jnp.asarray(pw)).sum(axis=-1)
+            rc_code = ((_U32(3) - jnp.minimum(w, 3)) * jnp.asarray(pw[::-1])).sum(
+                axis=-1
+            )
+            mlos.append(jnp.take(index.seed_mlo, (off + code).astype(_I32)))
+            sizes.append(jnp.take(index.seed_size, (off + code).astype(_I32)))
+            olos.append(jnp.take(index.seed_mlo, (off + rc_code).astype(_I32)))
+            valids.append(okw)
+        pad = Fp - P
+        z = jnp.zeros((B, pad), _U32)
+
+        def _col(parts, padv):
+            return jnp.concatenate([jnp.stack(parts, axis=-1), padv], axis=-1)
+
+        flo = _col(mlos, z)
+        rlo = _col(olos, z)
+        size = _col(sizes, z)
+        valid = _col([v & (s > 0) for v, s in zip(valids, sizes)],
+                     jnp.zeros((B, pad), bool))
+    else:
+        flo = jnp.zeros((B, Fp), _U32)
+        rlo = jnp.zeros((B, Fp), _U32)
+        size = jnp.where(jnp.arange(Fp) < P, _U32(n_total), _U32(0)) * jnp.ones(
+            (B, 1), _U32
+        )
+        valid = jnp.broadcast_to(jnp.arange(Fp) < P, (B, Fp))
 
     pids = jnp.arange(P, dtype=_I32)
 
-    def body_for(exact):
+    def body_for(exact, F):
         def body(carry, x):
             flo, rlo, size, err, plan, valid, ovf = carry
             pos, rightv, u, lreq = x  # [P] each
             nch_cands = needles[:, pos].astype(_U32)  # [B, P]
-            ph = plan[..., None] == pids  # [B, Fp, P]
+            ph = plan[..., None] == pids  # [B, F, P]
             phu = ph.astype(_U32)
             rv = (ph & rightv).any(axis=-1)
             u_st = (ph * u).sum(axis=-1)
@@ -246,23 +364,48 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
                 _flatten2(a) for a in (nflo, nrlo, nsize, err2, plan_c)
             )
             v = _flatten2(valid2)
-            (flo, rlo, size, err, plan), valid, of = _compact(arrays, v, Fp)
+            (flo, rlo, size, err, plan), valid, of = _compact(arrays, v, F)
             ovf = ovf | of | far.any(axis=-1)
             return (flo, rlo, size, err, plan, valid, ovf), None
 
         return body
 
-    carry = (flo, rlo, size, err, plan, valid, ovf)
-    for lo, hi, exact in ((0, S, True), (S, T, False)):
-        if lo == hi:
-            continue
-        xs = (
-            jnp.asarray(pos_s[lo:hi]),
-            jnp.asarray(right_s[lo:hi]),
-            jnp.asarray(u_s[lo:hi]),
-            jnp.asarray(lreq_s[lo:hi]),
+    def resize(carry, Fnew, Fold):
+        if Fnew == Fold:
+            return carry
+        flo, rlo, size, err, plan, valid, ovf = carry
+        if Fnew > Fold:
+            pad = Fnew - Fold
+
+            def up(a):
+                z = jnp.zeros(a.shape[:-1] + (pad,), a.dtype)
+                return jnp.concatenate([a, z], axis=-1)
+
+            return (up(flo), up(rlo), up(size), up(err), up(plan),
+                    up(valid), ovf)
+        (flo, rlo, size, err, plan), valid, of = _compact(
+            (flo, rlo, size, err, plan), valid, Fnew
         )
-        carry, _ = jax.lax.scan(body_for(exact), carry, xs)
+        return (flo, rlo, size, err, plan, valid, ovf | of)
+
+    carry = (flo, rlo, size, err, plan, valid, ovf)
+    Fcur = Fp
+    t = t_seed
+    while t < T:
+        Fph = int(pools[t])
+        hi = t
+        while hi < T and int(pools[hi]) == Fph and ((hi < S) == (t < S)):
+            hi += 1
+        carry = resize(carry, Fph, Fcur)
+        Fcur = Fph
+        xs = (
+            jnp.asarray(pos_s[t:hi]),
+            jnp.asarray(right_s[t:hi]),
+            jnp.asarray(u_s[t:hi]),
+            jnp.asarray(lreq_s[t:hi]),
+        )
+        carry, _ = jax.lax.scan(body_for(t < S, Fph), carry, xs)
+        t = hi
     flo, rlo, size, err, plan, valid, ovf = carry
     return (flo, rlo, size, err, valid), ovf
 
@@ -426,17 +569,18 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
 
 def block_mapper_impl(
     index, needles, cnt, n_total, *, plans, infix_off, J, K, tier, errors,
-    cap, rev_compl, with_states, exact_steps=64,
+    cap, rev_compl, with_states, exact_steps=64, n_static=None,
 ):
     """One batch of the block mapper (shared by the single-part, data-sharded
     and part-sharded paths; `n_total` may be a traced scalar under the
-    part-sharded mesh — `exact_steps` must then be computed host-side from
-    the largest part)."""
+    part-sharded mesh — `exact_steps` and `n_static` (the largest part size,
+    used for the static pool schedule) must then be computed host-side)."""
     from genmap_tpu.ops.rank import rc_strand_count
 
     Bl = needles.shape[0]  # local batch (per shard under shard_map)
     survivors, ovf1 = _search_infix(
-        index, plans, infix_off, needles, Bl, tier, n_total, exact_steps
+        index, plans, infix_off, needles, Bl, tier, n_total, exact_steps,
+        n_static if n_static is not None else n_total,
     )
     states, ovf2 = _extend_to_kmers(index, survivors, needles, Bl, J, K, tier, errors)
     flo, rlo, size, err, valid = states
