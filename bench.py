@@ -143,8 +143,8 @@ def main() -> None:
     # just the steady-state kernel
     if os.environ.get("GENMAP_BENCH_CONFIGS", "1") != "0":
         nkmers = layout.length - 1
-        for Ks, Es in [(5, 0), (6, 0), (20, 1), (101, 0), (101, 1), (101, 2),
-                       (101, 4)]:
+        for Ks, Es in [(5, 0), (6, 0), (20, 1), (30, 2), (101, 0), (101, 1),
+                       (101, 2), (101, 4)]:
             try:
                 xs = min(default_overlap(Ks, Es), Ks - 1, Ks - Es - 2)
                 ps = SearchParams(length=Ks, overlap=Ks - xs, rev_compl=True)
