@@ -144,16 +144,23 @@ def main() -> None:
     if os.environ.get("GENMAP_BENCH_CONFIGS", "1") != "0":
         nkmers = layout.length - 1
         for Ks, Es in [(5, 0), (6, 0), (20, 1), (30, 2), (101, 0), (101, 1),
-                       (101, 2), (101, 4)]:
+                       (101, 2), (101, 3), (101, 4)]:
             try:
                 xs = min(default_overlap(Ks, Es), Ks - 1, Ks - Es - 2)
                 ps = SearchParams(length=Ks, overlap=Ks - xs, rev_compl=True)
+                for k in eng.stats:
+                    eng.stats[k] = type(eng.stats[k])(0)
                 t0 = time.time()
                 eng.compute_file(layout, ps, Es, 65535)
                 dt = time.time() - t0
                 nk = layout.length - Ks + 1
+                st = eng.stats
                 print(f"# config ({Ks},{Es}): {nk} kmers end-to-end in "
-                      f"{dt:.1f}s -> {nk / dt:,.0f} kmers/s", file=sys.stderr)
+                      f"{dt:.1f}s -> {nk / dt:,.0f} kmers/s "
+                      f"[{st['batches']} batches, dispatch {st['dispatch_s']:.1f}s, "
+                      f"fetch {st['fetch_s']:.1f}s, scatter {st['scatter_s']:.1f}s, "
+                      f"ovf {st['overflow_blocks']}, max_tier {st['max_tier']}]",
+                      file=sys.stderr)
             except Exception as e:
                 print(f"# config ({Ks},{Es}): FAILED {e!r}", file=sys.stderr)
 

@@ -214,4 +214,10 @@ def map_main(argv: list[str]) -> int:
     if args.verbose:
         print("Mappability computed in "
               f"{round((_time.time() - compute_start) * 100.0) / 100.0} seconds")
+        st = engine.stats
+        print(f"- engine: {st['batches']} batches "
+              f"(dispatch {st['dispatch_s']:.2f}s, fetch {st['fetch_s']:.2f}s, "
+              f"scatter {st['scatter_s']:.2f}s), "
+              f"{st['overflow_blocks']} blocks escalated "
+              f"(max tier {st['max_tier']})")
     return 0

@@ -144,7 +144,7 @@ class MappabilityEngine:
             # batch size must split evenly over the data axis
             n = self._mesh_data
             self.batch_blocks = -(-batch_blocks // n) * n
-        self.text = data.decode_text()
+        self._text = None
         self.layouts = file_layouts(data)
         self.tiers = tiers
         self._runners: dict = {}
@@ -153,8 +153,14 @@ class MappabilityEngine:
             for ix in (self.indices or [])
         ]
         self._locate_chunk = 1 << 14
-        # observability: per-compute overflow/tier statistics
-        self.stats = {"overflow_blocks": 0, "max_tier": 0}
+        # observability: per-compute overflow/tier statistics + phase timers
+        # (dispatch includes jit trace/compile of the first batch per tier;
+        # fetch is the blocking device->host wait, so it absorbs device time
+        # the in-flight window couldn't hide; scatter is host numpy)
+        self.stats = {
+            "overflow_blocks": 0, "max_tier": 0, "batches": 0,
+            "dispatch_s": 0.0, "fetch_s": 0.0, "scatter_s": 0.0,
+        }
         # global sequence id -> file ordinal, for exclude-pseudo
         self.seq_file_id = np.zeros(data.nseq, dtype=np.int64)
         fid = 0
@@ -163,6 +169,18 @@ class MappabilityEngine:
                 fid += 1
             self.seq_file_id[k] = fid
         self.n_files = fid + 1
+
+    @property
+    def text(self) -> np.ndarray:
+        """Host-decoded concatenated text, materialized on first use.
+
+        Only the dedup key pass (and ad-hoc callers like bench.py) read it;
+        needle windows are extracted on DEVICE from the packed text, so a
+        plain mapping run never pays the decode (gigabytes at hg38 scale —
+        this keeps `-m` honest about host residency)."""
+        if self._text is None:
+            self._text = self.data.decode_text()
+        return self._text
 
     # ------------------------------------------------------------------
 
@@ -257,7 +275,6 @@ class MappabilityEngine:
         o = params.overlap
         J = K - o + 1
         L = layout.length
-        text = self.text[layout.start : layout.start + L]
         c = np.zeros(L, dtype=np.uint32)
         locations: dict = {}
         csv_needed = csv or params.exclude_pseudo
@@ -295,13 +312,15 @@ class MappabilityEngine:
             and not csv_needed
             and nkmers >= 8192
         ):
+            # the dedup key pass is the only host-side reader of the text
+            text = self.data.decode_slice(layout.start, L)
             done = self._compute_with_dedup(
                 text, c, locations, layout, starts, cnts, K, o, J, errors,
                 cap, params, progress, nkmers,
             )
         if not done:
             self._execute_blocks(
-                text, c, locations, layout, starts, cnts, K, o, J, errors,
+                c, locations, layout, starts, cnts, K, o, J, errors,
                 cap, params, csv_needed, csv, progress,
             )
 
@@ -312,7 +331,7 @@ class MappabilityEngine:
     # ------------------------------------------------------------------
 
     def _execute_blocks(
-        self, text, c, locations, layout, starts, cnts, K, o, J, errors, cap,
+        self, c, locations, layout, starts, cnts, K, o, J, errors, cap,
         params, csv_needed, csv, progress=None, collect_exact=None,
     ):
         """Run the tier-escalating batch loop over the given blocks.
@@ -345,8 +364,15 @@ class MappabilityEngine:
         n_max = max(p.n_total for p in self.data.parts)
 
         def block_cost(tier):
+            """(time_cost, peak_slots) per block at this tier.
+
+            time ~ total gathered rows ~ sum of per-step pool sizes plus the
+            extension steps; MEMORY ~ the widest live state tensor, i.e. the
+            peak pool (or the full extension frontier), times the batch."""
             pools = infix_pool_schedule(plans, K - o, n_max, tier.f_search / 4.0)
-            return int(pools.sum()) + 2 * J * tier.f_extend
+            cost = int(pools.sum()) + 2 * J * tier.f_extend
+            peak = max(int(pools.max()), J * tier.f_extend)
+            return cost, peak
 
         tiers = list(self.tiers)
         if (
@@ -357,13 +383,21 @@ class MappabilityEngine:
             # frontier at 4 slots instead of overflowing most blocks
             tiers[0] = dataclasses.replace(tiers[0], f_extend=4)
 
-        # ~8M state-slot-steps per batch keeps per-step gather/state tensors
-        # in a healthy range across configs (B0 itself caps light configs)
-        WORK = 1 << 23
+        # two batch-size budgets: WORK bounds per-batch device TIME (total
+        # state-slot-steps — keep batches near the device's latency sweet
+        # spot while keeping the batch count low: every batch costs a host
+        # dispatch + fetch round through the possibly-remote device link);
+        # SLOTS bounds per-batch MEMORY (peak live state slots x ~1.8 KB
+        # each through the x4 candidate fan-out and sort-compaction
+        # double-buffers, measured: 10M slots OOMed a 16 GB chip at 17.8 GB;
+        # 3M slots ~ 5.5 GB leaves room for an hg38-part index in HBM)
+        WORK = 1 << 25
+        SLOTS = 3 << 20
         for t_i, tier in enumerate(tiers):
             if len(pending) == 0:
                 break
-            B = max(8, min(B0, WORK // max(1, block_cost(tier))))
+            cost, peak = block_cost(tier)
+            B = max(8, min(B0, WORK // max(1, cost), SLOTS // max(1, peak)))
             if self.mesh is not None:
                 n = self._mesh_data
                 B = max(n, -(-B // n) * n)
@@ -372,12 +406,16 @@ class MappabilityEngine:
             )
             still: list[np.ndarray] = []
             inflight: list[tuple[np.ndarray, list]] = []
+            stats = self.stats
 
             def drain(one):
+                import time as _time
+
                 from genmap_tpu.parallel.dist import fetch
 
                 while inflight and (len(inflight) >= window or one):
                     sel, outs = inflight.pop(0)
+                    t0 = _time.perf_counter()
                     outs = [
                         {
                             k: (tuple(fetch(x) for x in v) if k == "states"
@@ -386,6 +424,8 @@ class MappabilityEngine:
                         }
                         for o in outs
                     ]
+                    t1 = _time.perf_counter()
+                    stats["fetch_s"] += t1 - t0
                     ovf = np.zeros(len(sel), bool)
                     for out in outs:
                         ovf |= np.asarray(out["overflow"])[: len(sel)]
@@ -393,6 +433,7 @@ class MappabilityEngine:
                         c, locations, outs, starts[sel], cnts[sel], ~ovf, layout,
                         params, K, J, errors, cap, csv_needed, csv,
                     )
+                    stats["scatter_s"] += _time.perf_counter() - t1
                     if collect_exact is not None:
                         E_flo, E_size = collect_exact
                         for pi, out in enumerate(outs):
@@ -411,9 +452,14 @@ class MappabilityEngine:
                     if one:
                         break
 
+            import time as _time
+
             for s in range(0, len(pending), B):
                 sel = pending[s : s + B]
+                t0 = _time.perf_counter()
                 outs = self._run_batch(runs, layout, starts[sel], cnts[sel], B, K, J, params)
+                stats["dispatch_s"] += _time.perf_counter() - t0
+                stats["batches"] += 1
                 inflight.append((sel, outs))
                 drain(False)
             while inflight:
@@ -442,6 +488,12 @@ class MappabilityEngine:
         Returns False when dedup is not worthwhile (caller runs normally).
         """
         if K <= 27 and nkmers <= (1 << 31):
+            # cheap sampled gate first: full key building + np.unique over
+            # all k-mers costs seconds at genome scale, pure waste on
+            # low-duplication text (the keep-fraction check below would bail
+            # anyway; at sampled dup rate < 0.15 it nearly always does)
+            if nkmers > (1 << 21) and self._sampled_dup_rate(text, K, nkmers) < 0.15:
+                return False
             keys = np.zeros(nkmers, dtype=np.uint64)
             for i in range(K):
                 keys *= np.uint64(5)
@@ -460,7 +512,7 @@ class MappabilityEngine:
             E_size = [np.zeros(nkmers, np.uint32) for _ in range(P)]
             c0 = np.zeros_like(c)
             self._execute_blocks(
-                text, c0, {}, layout, starts, cnts, K, o, J, 0, cap, params,
+                c0, {}, layout, starts, cnts, K, o, J, 0, cap, params,
                 False, False, collect_exact=(E_flo, E_size),
             )
             key_arr = np.zeros((nkmers, 2 * P + 1), dtype=np.uint32)
@@ -488,7 +540,7 @@ class MappabilityEngine:
             return False  # few duplicates: per-class bookkeeping not worth it
 
         self._execute_blocks(
-            text, c, locations, layout, starts[keep], cnts[keep], K, o, J,
+            c, locations, layout, starts[keep], cnts[keep], K, o, J,
             errors, cap, params, False, False, progress=None,
         )
         if progress is not None:

@@ -53,6 +53,21 @@ def test_build_index_dna5_and_roundtrip(tmp_path):
     assert list(d2.seq_lens) == [8, 3]
 
 
+def test_decode_slice_matches_full_decode():
+    # odd offsets/lengths across word (16) and N-bit word (32) boundaries
+    rng = np.random.default_rng(5)
+    seq = rng.integers(0, 5, size=211, dtype=np.uint8)
+    s = "".join("ACGTN"[v] for v in seq)
+    data = build_index(_mk_files([s]), sampling=3)
+    full = data.decode_text()
+    for start, length in [(0, 211), (1, 16), (15, 3), (16, 32), (17, 33),
+                          (31, 64), (63, 100), (200, 50), (210, 1), (211, 5)]:
+        np.testing.assert_array_equal(
+            data.decode_slice(start, length), full[start : start + length],
+            err_msg=f"slice ({start}, {length})",
+        )
+
+
 def test_ctext_layout():
     ct = _make_ctext([encode_seq("ACG"), encode_seq("TN")])
     assert list(ct) == [1, 2, 3, 0, 4, 5, 0]
