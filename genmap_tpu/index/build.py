@@ -115,7 +115,8 @@ def _bitvec_rank_rows(bits: np.ndarray) -> np.ndarray:
 
 
 def _build_part(
-    seqs: list[np.ndarray], sampling: int, has_n: bool, seq_off: int
+    seqs: list[np.ndarray], sampling: int, has_n: bool, seq_off: int,
+    dimer: bool = True,
 ) -> IndexPart:
     """Build one FMD sub-index over seqs + their reverse complements."""
     from genmap_tpu.alphabet import revcomp_codes
@@ -145,8 +146,11 @@ def _build_part(
     starts_c = starts.astype(sd)
     all_lens_c = all_lens.astype(sd)
 
+    use_dimer = dimer and n < 2**31
     bwt = np.empty(n, dtype=np.uint8)
     sbits = np.empty(n, dtype=bool)
+    bwt2 = np.empty(n, dtype=np.uint8) if use_dimer else None
+    s2bits = np.empty(n, dtype=bool) if use_dimer else None
     ind = np.empty(n, dtype=bool)
     strand_bits = np.empty(n, dtype=bool)
     char_counts = np.zeros(6, dtype=np.uint64)
@@ -161,6 +165,13 @@ def _build_part(
         bwt[c0:c1] = np.where(sb, 0, bwt_c - 1)
         sbits[c0:c1] = sb
         char_counts += np.bincount(bwt_c, minlength=6).astype(np.uint64)
+        if use_dimer:
+            prev[prev == 0] = sd.type(n)
+            prev -= sd.type(1)
+            bwt2_c = ctext[prev]
+            s2b = bwt2_c == 0
+            bwt2[c0:c1] = np.where(s2b, 0, bwt2_c - 1)
+            s2bits[c0:c1] = s2b
 
         i1 = np.searchsorted(starts_c, sac, side="right") - 1
         i2 = sac - starts_c[i1]
@@ -190,6 +201,14 @@ def _build_part(
     strand_blocks = _bitvec_rank_rows(strand_bits)
     ind_blocks = _bitvec_rank_rows(ind)
 
+    dimer_blocks = None
+    C2 = None
+    if use_dimer:
+        from genmap_tpu.index.fmindex import build_dimer_rows
+
+        dimer_blocks = build_dimer_rows(bwt, sbits, bwt2, s2bits)
+        del bwt2, s2bits
+
     # C array over real symbols, sentinels smallest (char_counts[0] counts
     # sentinel bytes; real chars are stored shifted by one in ctext)
     C = np.zeros(6, dtype=np.uint64)
@@ -197,6 +216,24 @@ def _build_part(
     np.cumsum(char_counts[1:], out=C[1:])
     C[1:] += nseq_all
     assert C[5] == n_total
+
+    if use_dimer:
+        # C2[c2*4+c1] = SA start of the interval of the string "c1 c2"
+        #   = C[c1] + #(c1 at a sequence end) + sum_{c<c2} #text dimers (c1,c)
+        paircnt = np.zeros((6, 6), dtype=np.int64)
+        endcnt = np.zeros(4, dtype=np.int64)
+        for c0 in range(0, n - 1, _CHUNK):
+            c1_ = min(c0 + _CHUNK, n - 1)
+            a = ctext[c0 : c1_].astype(np.int64)
+            b = ctext[c0 + 1 : c1_ + 1].astype(np.int64)
+            paircnt += np.bincount(a * 6 + b, minlength=36).reshape(6, 6)
+        endcnt = paircnt[1:5, 0]
+        C2 = np.zeros(16, dtype=np.uint32)
+        for cc1 in range(4):
+            acc = int(C[cc1]) + int(endcnt[cc1])
+            for cc2 in range(4):
+                C2[cc2 * 4 + cc1] = acc
+                acc += int(paircnt[cc1 + 1, cc2 + 1])
 
     return IndexPart(
         fwd=fwd,
@@ -207,6 +244,8 @@ def _build_part(
         ind_blocks=ind_blocks,
         seq_off=seq_off,
         nseq_part=nseq_g,
+        dimer=dimer_blocks,
+        C2=C2,
     )
 
 
@@ -235,8 +274,8 @@ def _build_part_to_dir(args) -> str:
     Returning multi-GB arrays through pickle pipes is slower than disk on
     this host; the parent mmap-loads the spilled arrays instead.
     """
-    seqs, sampling, has_n, seq_off, out_dir = args
-    part = _build_part(seqs, sampling, has_n, seq_off)
+    seqs, sampling, has_n, seq_off, dimer, out_dir = args
+    part = _build_part(seqs, sampling, has_n, seq_off, dimer=dimer)
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "blocks.npy"), part.fwd.blocks)
     np.save(os.path.join(out_dir, "C.npy"), part.C)
@@ -244,9 +283,13 @@ def _build_part_to_dir(args) -> str:
     np.save(os.path.join(out_dir, "sa_i2.npy"), part.sa_i2)
     np.save(os.path.join(out_dir, "strand.npy"), part.strand_blocks)
     np.save(os.path.join(out_dir, "ind.npy"), part.ind_blocks)
+    if part.dimer is not None:
+        np.save(os.path.join(out_dir, "dimer.npy"), part.dimer)
+        np.save(os.path.join(out_dir, "C2.npy"), part.C2)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(
-            {"length": part.fwd.length, "seq_off": seq_off, "nseq_part": part.nseq_part},
+            {"length": part.fwd.length, "seq_off": seq_off, "nseq_part": part.nseq_part,
+             "dimer": part.dimer is not None},
             f,
         )
     return out_dir
@@ -270,6 +313,10 @@ def _load_part_dir(out_dir: str, has_n: bool) -> IndexPart:
         ind_blocks=np.load(os.path.join(out_dir, "ind.npy"), mmap_mode="r"),
         seq_off=meta["seq_off"],
         nseq_part=meta["nseq_part"],
+        dimer=np.load(os.path.join(out_dir, "dimer.npy"), mmap_mode="r")
+        if meta.get("dimer")
+        else None,
+        C2=np.load(os.path.join(out_dir, "C2.npy")) if meta.get("dimer") else None,
     )
 
 

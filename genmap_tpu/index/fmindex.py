@@ -82,6 +82,139 @@ BVWORDS = BVBLOCK // 32  # 4
 # chunk size (in BLOCK-aligned symbols) for bounded-memory construction
 _CHUNK = 64 * 1024 * 1024
 
+# ---------------------------------------------------------------------------
+# Dimer (2-symbols-per-LF-step) rank rows.
+#
+# The search engine's wall time is gathered-rank-rows-bound (NOTES.md): every
+# consumed pattern character costs ~1 row gather per live state.  A dimer
+# table serves TWO characters per gather: for rows r of the BWT define
+# code(r) = BWT[r]*4 + BWT2[r] (BWT2[r] = the char two before the suffix,
+# i.e. ctext[SA[r]-2]); then the interval of c1c2·W follows from prefix
+# counts of code c2*4+c1 over [0, lo) exactly like a mono LF step
+# (the classic multi-step FM-index identity:
+#    Occ_{c1}(C[c2] + Occ_{c2}(r)) = Occ_{c1}(C[c2]) + Occ2_{c1c2}(r) ).
+# With the BWT-char-MAJOR code order, every FMD quantity reduces to
+# "count of codes <= t" (le) thresholds:
+#    new_mlo[c1c2]  = C2[c1c2] + (L_code - L_{code-1})(lo)
+#    new_size[c1c2] = (L_code - L_{code-1})(hi..lo slice)
+#    new_olo[c1c2]  = olo + (L_15 - L_code)(slice)
+# and the mono les are the thresholds t = 4y+3.
+#
+# Rows adjacent to a sentinel or an N (BWT or BWT2 in {sentinel, N}) carry no
+# valid dimer code; sub-blocks containing any such row are FLAGGED and a
+# query touching a flagged sub-block escalates the block to a mono tier
+# (search/engine.py) — there are only O(#sequences + #N-run-boundaries) such
+# rows in the whole index, so escalation is negligible and the dimer path
+# stays exact for both Dna4 and Dna5.
+#
+# Sub-block layout (128 symbols, 64 uint32 words; gathered rows are PAIRS of
+# adjacent sub-blocks = 512 B, same pairing trick as the mono rows):
+#   w[0:16]   4-bit dimer codes, 8 per word (invalid rows stored as 0)
+#   w[16:32]  cumulative le counts L_0..L_15 at sub-block start
+#             (#rows < start with a VALID dimer code <= t; L_15 = all valid)
+#   w[32:60]  le deltas at 16-symbol boundaries, d-MAJOR so a query extracts
+#             all 16 thresholds with one one-hot word-group select + static
+#             byte shifts (dynamic lane indexing lowers terribly on TPU):
+#             byte 16*(d-1)+t of this region = #codes <= t within symbols
+#             [0, 16d), d = 1..7
+#   w[60:64]  cumulative mono le counts (#rows < start with BWT real and
+#             <= y), y = 0..3; bit 31 of w[60] = sub-block flag
+# The flag bit steals bit 31 of a count, so dimer rows require the part's
+# n_total < 2^31 (build_index partitions accordingly when dimer=True).
+# ---------------------------------------------------------------------------
+
+DBLOCK = 128  # symbols per dimer sub-block
+D_FIELDS = 0
+D_CUM = 16
+D_DELTA = 32
+D_MONO = 60
+D_WIDTH = 64
+DIMER_PART_LIMIT = 2**31 - 2
+
+
+def build_dimer_rows(
+    bwt: np.ndarray, sbits: np.ndarray, bwt2: np.ndarray, s2bits: np.ndarray
+) -> np.ndarray:
+    """Dimer rank sub-rows from the BWT and the 2-back BWT stream.
+
+    `bwt`/`bwt2` are real symbol codes 0..4 (4 = N; value irrelevant where the
+    corresponding sentinel bit is set); `sbits`/`s2bits` mark sentinels.
+    """
+    n = int(len(bwt))
+    assert n < 2**31, "dimer rows need part n_total < 2^31 (flag bit)"
+    nblocks = n // DBLOCK + 1
+    out = np.zeros((nblocks, D_WIDTH), dtype=np.uint32)
+
+    cum = np.zeros(16, dtype=np.uint64)
+    cum_mono = np.zeros(4, dtype=np.uint64)
+
+    for c0 in range(0, nblocks * DBLOCK, _CHUNK):
+        c1 = min(c0 + _CHUNK, nblocks * DBLOCK)
+        b0, b1 = c0 // DBLOCK, c1 // DBLOCK
+        nb = b1 - b0
+        m = c1 - c0
+        take = max(0, min(c1, n) - c0)
+        bw = np.zeros(m, dtype=np.uint8)
+        bw2 = np.zeros(m, dtype=np.uint8)
+        sb = np.zeros(m, dtype=bool)
+        sb2 = np.zeros(m, dtype=bool)
+        real = np.zeros(m, dtype=bool)  # row index < n
+        if take:
+            bw[:take] = bwt[c0 : c0 + take]
+            bw2[:take] = bwt2[c0 : c0 + take]
+            sb[:take] = sbits[c0 : c0 + take]
+            sb2[:take] = s2bits[c0 : c0 + take]
+            real[:take] = True
+
+        valid = real & ~sb & ~sb2 & (bw < 4) & (bw2 < 4)
+        code = np.where(valid, bw * 4 + bw2, 0).astype(np.uint8)
+        mono_real = real & ~sb & (bw < 4)
+        flag = (real & ~valid).reshape(nb, DBLOCK).any(axis=1)
+
+        # pack 4-bit fields, 8 per word
+        cc = code.astype(np.uint32).reshape(nb, 16, 8)
+        out[b0:b1, D_FIELDS : D_FIELDS + 16] = np.bitwise_or.reduce(
+            cc << (4 * np.arange(8, dtype=np.uint32))[None, None, :], axis=-1
+        )
+
+        # per-16-symbol-prefix le counts (deltas) + per-block totals
+        vcode = np.where(valid, code, 16).astype(np.uint8)  # invalid -> bin 16
+        hist16 = np.zeros((nb, 8, 17), dtype=np.int32)
+        v16 = vcode.reshape(nb, 8, 16)
+        for t in range(17):
+            hist16[:, :, t] = (v16 == t).sum(axis=2)
+        le16 = np.cumsum(hist16[:, :, :16], axis=2)  # counts per 16-sym group
+        ple = np.cumsum(le16, axis=1)  # prefix over groups: [0,16(d+1))
+        # delta bytes, d-major: region byte offset 16*(d-1) + t, d = 1..7
+        dbytes = ple[:, :7, :].astype(np.uint8)
+        dw = dbytes.reshape(nb, 28, 4).astype(np.uint32)
+        out[b0:b1, D_DELTA : D_DELTA + 28] = np.bitwise_or.reduce(
+            dw << (8 * np.arange(4, dtype=np.uint32))[None, None, :], axis=-1
+        )
+
+        per_block = ple[:, 7, :].astype(np.uint64)  # [nb, 16] block totals
+        cum_after = cum[None, :] + np.cumsum(per_block, axis=0)
+        out[b0:b1, D_CUM : D_CUM + 16] = np.concatenate(
+            [cum[None, :], cum_after[:-1]], axis=0
+        ).astype(np.uint32)
+        cum = cum_after[-1]
+
+        mc = np.where(mono_real, bw, 4).astype(np.uint8)
+        mhist = np.zeros((nb, 4), dtype=np.int64)
+        mb = mc.reshape(nb, DBLOCK)
+        for y in range(4):
+            mhist[:, y] = (mb == y).sum(axis=1)
+        mle = np.cumsum(mhist, axis=1).astype(np.uint64)
+        mcum_after = cum_mono[None, :] + np.cumsum(mle, axis=0)
+        mono_rows = np.concatenate(
+            [cum_mono[None, :], mcum_after[:-1]], axis=0
+        ).astype(np.uint32)
+        cum_mono = mcum_after[-1]
+        mono_rows[:, 0] |= flag.astype(np.uint32) << 31
+        out[b0:b1, D_MONO : D_MONO + 4] = mono_rows
+
+    return out
+
 
 def sub_width(has_n: bool) -> int:
     return _SUB_BASE + (1 + SUBBITS) * int(has_n)
@@ -212,6 +345,11 @@ class IndexPart:
     ind_blocks: np.ndarray
     seq_off: int
     nseq_part: int
+    # optional dimer rank rows (2-symbols-per-step fast path, see
+    # build_dimer_rows) + the 16-entry C2 array: C2[c2*4+c1] = SA start of
+    # the interval of the string c1c2
+    dimer: np.ndarray | None = None
+    C2: np.ndarray | None = None
 
     @property
     def n_total(self) -> int:
@@ -278,7 +416,7 @@ class FMIndexData:
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         meta = {
-            "format_version": 4,  # v4: 512-symbol paired rank rows
+            "format_version": 5,  # v5: v4 + optional dimer rank rows
             "alphabet_size": self.alphabet_size,
             "sampling_rate": self.sampling,
             "fasta_directory": self.directory,
@@ -288,6 +426,7 @@ class FMIndexData:
                     "length": p.fwd.length,
                     "seq_off": p.seq_off,
                     "nseq_part": p.nseq_part,
+                    "dimer": p.dimer is not None,
                 }
                 for p in self.parts
             ],
@@ -306,6 +445,9 @@ class FMIndexData:
             np.save(os.path.join(path, f"p{i}_sa_i2.npy"), p.sa_i2)
             np.save(os.path.join(path, f"p{i}_strand.npy"), p.strand_blocks)
             np.save(os.path.join(path, f"p{i}_ind.npy"), p.ind_blocks)
+            if p.dimer is not None:
+                np.save(os.path.join(path, f"p{i}_dimer.npy"), p.dimer)
+                np.save(os.path.join(path, f"p{i}_C2.npy"), p.C2)
         np.save(os.path.join(path, "text_words.npy"), self.text_words)
         np.save(os.path.join(path, "text_nwords.npy"), self.text_nwords)
 
@@ -313,7 +455,7 @@ class FMIndexData:
     def load(path: str, mmap: bool = False) -> "FMIndexData":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        if meta.get("format_version") != 4:
+        if meta.get("format_version") not in (4, 5):
             raise ValueError(
                 f"unsupported index format_version {meta.get('format_version')};"
                 " rebuild the index with this version of genmap-tpu"
@@ -352,6 +494,12 @@ class FMIndexData:
                     ),
                     seq_off=pm["seq_off"],
                     nseq_part=pm["nseq_part"],
+                    dimer=np.load(os.path.join(path, f"p{i}_dimer.npy"), mmap_mode=mm)
+                    if pm.get("dimer")
+                    else None,
+                    C2=np.load(os.path.join(path, f"p{i}_C2.npy"))
+                    if pm.get("dimer")
+                    else None,
                 )
             )
         return FMIndexData(

@@ -44,6 +44,10 @@ import numpy as np
 
 from genmap_tpu.index.fmindex import (
     BVWORDS,
+    D_CUM,
+    D_DELTA,
+    D_MONO,
+    D_WIDTH,
     SUBBITS,
     SUBWORDS,
     S_LE,
@@ -92,6 +96,9 @@ class DeviceIndex:
     # (levels concatenated, see seed_level_offset); length-1 array = disabled
     seed_mlo: jax.Array
     seed_size: jax.Array
+    # dimer rank rows (paired [nb, 2*D_WIDTH]) + C2[16]; length-1 = disabled
+    dimer_blocks: jax.Array
+    C2: jax.Array
     has_n: bool = field(metadata={"static": True})
     sampling: int = field(metadata={"static": True})
     n_total: int = field(metadata={"static": True})
@@ -99,6 +106,10 @@ class DeviceIndex:
     @property
     def has_seed(self) -> bool:
         return self.seed_mlo.shape[0] > 1
+
+    @property
+    def has_dimer(self) -> bool:
+        return self.dimer_blocks.shape[0] > 1
 
     @property
     def nchars(self) -> int:
@@ -122,6 +133,12 @@ class DeviceIndex:
             else jnp.asarray(part.ind_blocks),
             seed_mlo=jnp.zeros(1, _U32),
             seed_size=jnp.zeros(1, _U32),
+            dimer_blocks=jnp.asarray(wide_rows(np.asarray(part.dimer)))
+            if part.dimer is not None
+            else jnp.zeros((1, 2 * D_WIDTH), _U32),
+            C2=jnp.asarray(part.C2)
+            if part.C2 is not None
+            else jnp.zeros(16, _U32),
             has_n=data.has_n,
             sampling=data.sampling,
             n_total=part.n_total,
@@ -344,6 +361,173 @@ def with_seed_tables(index: DeviceIndex, t0: int = SEED_T0) -> DeviceIndex:
 
     seed_mlo, seed_size = build(index)
     return dataclasses.replace(index, seed_mlo=seed_mlo, seed_size=seed_size)
+
+
+# ---------------------------------------------------------------------------
+# Dimer (2-symbols-per-gather) rank path.  Layout: index/fmindex.py
+# build_dimer_rows.  Candidate axis convention: code = c2*4 + c1 for the
+# prepended dimer c1c2 (c2 adjacent to the current pattern).
+# ---------------------------------------------------------------------------
+
+_M1 = np.uint32(0x11111111)
+
+
+def _dimer_occ(sub: jax.Array, p: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """All-threshold counts at position p from its covering 64-word sub-row.
+
+    Returns (L [..., 16], Lm [..., 4], flag [...]):
+      L[t]  = #rows < p with a valid dimer code <= t
+      Lm[y] = #rows < p with a real ACGT BWT char <= y
+      flag  = sub-block contains a sentinel/N-adjacent row (query must
+              escalate; counts are then unreliable for FMD purposes)
+
+    Leading axes are free; `sub` must cover p (same 128-symbol sub-block).
+    All dynamic word selection is one-hot (minor-axis take_along_axis lowers
+    catastrophically on TPU — measured ~600 ns/row).
+    """
+    off = (p & _U32(127)).astype(_I32)
+    d = off >> 4  # 16-symbol boundary index 0..7
+    tail = off & 15
+
+    # tail field words: one-hot select the pair (w[2d], w[2d+1])
+    dhu = (d[..., None] == jnp.arange(8, dtype=_I32)).astype(_U32)
+    fields = sub[..., 0:16].reshape(sub.shape[:-1] + (8, 2))
+    w0 = (fields[..., 0] * dhu).sum(axis=-1, dtype=_U32)
+    w1 = (fields[..., 1] * dhu).sum(axis=-1, dtype=_U32)
+
+    # delta bytes: one-hot select the 4-word group of d (d=0 -> zeros),
+    # then static byte extraction via bitcast
+    ghu = ((d[..., None] - 1) == jnp.arange(7, dtype=_I32)).astype(_U32)
+    dwords = sub[..., D_DELTA : D_DELTA + 28].reshape(sub.shape[:-1] + (7, 4))
+    dsel = (dwords * ghu[..., None]).sum(axis=-2, dtype=_U32)  # [..., 4]
+    dbytes = jnp.stack(
+        [(dsel >> _U32(8 * k)) & _U32(0xFF) for k in range(4)], axis=-1
+    ).reshape(dsel.shape[:-1] + (16,))  # [..., 16] byte t = delta of thresh t
+
+    # in-tail counts: nibble eq products of (hi2, lo2) over the 2 words
+    nf0 = jnp.clip(tail, 0, 8)
+    nf1 = jnp.clip(tail - 8, 0, 8)
+
+    def pmask(nf):
+        sh = jnp.minimum(4 * nf, 31).astype(_U32)
+        return jnp.where(nf >= 8, _FULL, (_U32(1) << sh) - _U32(1))
+
+    w = jnp.stack([w0 & pmask(nf0), w1 & pmask(nf1)], axis=-1)  # [..., 2]
+    b0 = w & _M1
+    b1 = (w >> _U32(1)) & _M1
+    b2 = (w >> _U32(2)) & _M1
+    b3 = (w >> _U32(3)) & _M1
+    n3, n2, n1, n0 = b3 ^ _M1, b2 ^ _M1, b1 ^ _M1, b0 ^ _M1
+    eq_hi = (n3 & n2, n3 & b2, b3 & n2, b3 & b2)
+    eq_lo = (n1 & n0, n1 & b0, b1 & n0, b1 & b0)
+    pc = jax.lax.population_count
+    # masked-out fields have value 0 -> they land in eq(0,0); subtract the
+    # masked-field count from threshold counts by masking the eq product
+    # (pmask already zeroes them: a zeroed field matches eq(0,0) though!).
+    # Fix: count eq(0,0) within the mask only.
+    fmask = jnp.stack([pmask(nf0), pmask(nf1)], axis=-1) & _M1
+    cnts = []
+    for a in range(4):
+        for b in range(4):
+            g = eq_hi[a] & eq_lo[b]
+            if a == 0 and b == 0:
+                g = g & fmask
+            cnts.append(pc(g).sum(axis=-1, dtype=_U32))
+    cnt = jnp.stack(cnts, axis=-1)  # [..., 16] per-code tail counts
+    tails = jnp.cumsum(cnt, axis=-1, dtype=_U32)
+
+    inblk = dbytes + tails
+    L = sub[..., D_CUM : D_CUM + 16] + inblk
+    mono_cum = jnp.concatenate(
+        [sub[..., D_MONO : D_MONO + 1] & _U32(0x7FFFFFFF),
+         sub[..., D_MONO + 1 : D_MONO + 4]],
+        axis=-1,
+    )
+    Lm = mono_cum + inblk[..., 3::4]  # thresholds 3, 7, 11, 15
+    flag = (sub[..., D_MONO] >> _U32(31)) > 0
+    return L, Lm, flag
+
+
+def _dimer_tail(
+    index: DeviceIndex,
+    L_lo: jax.Array,
+    L_hi: jax.Array,
+    Lm_lo: jax.Array,
+    Lm_hi: jax.Array,
+    olo: jax.Array,
+) -> tuple:
+    """FMD results from the two bounds' threshold counts.
+
+    Dimer candidates (axis 16, code = c2*4 + c1, prepended dimer c1c2):
+      new_mlo[code] = C2[code] + (L_code - L_{code-1})(lo)
+      new_size      = slice of the same diff
+      new_olo[code] = olo + (L_15 - L_code)(slice)
+    Mono candidates (axis 4; prepended char y):
+      new_mlo_m[y] = C[y] + (Lm_y - Lm_{y-1})(lo)
+      new_olo_m[y] = olo + (Lm_3 - Lm_y)(slice)
+    Valid ONLY for unflagged sub-blocks (no sentinel/N-adjacent rows in the
+    queried windows): the sentinel and N correction terms vanish there.
+    """
+    S = L_hi - L_lo
+    z16 = L_lo[..., :1] * _U32(0)
+    occ2_lo = jnp.diff(L_lo, axis=-1, prepend=z16)
+    d_mlo = index.C2 + occ2_lo
+    d_size = jnp.diff(S, axis=-1, prepend=z16)
+    d_olo = olo[..., None] + (S[..., 15:16] - S)
+
+    Sm = Lm_hi - Lm_lo
+    zm = Lm_lo[..., :1] * _U32(0)
+    occm_lo = jnp.diff(Lm_lo, axis=-1, prepend=zm)
+    m_mlo = index.C[:4] + occm_lo
+    m_size = jnp.diff(Sm, axis=-1, prepend=zm)
+    m_olo = olo[..., None] + (Sm[..., 3:4] - Sm)
+    if index.has_n:
+        # candidate N: impossible in unflagged windows -> size 0
+        zn = m_size[..., :1] * _U32(0)
+        m_mlo = jnp.concatenate([m_mlo, zn], axis=-1)
+        m_size = jnp.concatenate([m_size, zn], axis=-1)
+        m_olo = jnp.concatenate([m_olo, zn], axis=-1)
+    return (d_mlo, d_size, d_olo), (m_mlo, m_size, m_olo)
+
+
+def extend_dimer_fast(
+    index: DeviceIndex,
+    mlo: jax.Array,
+    size: jax.Array,
+    olo: jax.Array,
+) -> tuple:
+    """One-gather dimer + mono extension from the paired dimer row.
+
+    Returns ((d_mlo, d_size, d_olo) [..., 16], (m_mlo, m_size, m_olo)
+    [..., A], far): `far` marks states whose results are invalid — interval
+    wider than the 256-symbol window, or a flagged sub-block touched; the
+    caller escalates those blocks to a mono tier."""
+    q = (mlo >> _U32(7)).astype(_I32)
+    rows = jnp.take(index.dimer_blocks, q, axis=0)
+    hi = mlo + size
+    far = ((hi >> _U32(7)).astype(_I32) - q) > 1
+    half = ((hi >> _U32(7)).astype(_I32) - q) > 0
+    sub_hi = jnp.where(half[..., None], rows[..., D_WIDTH:], rows[..., :D_WIDTH])
+    L_lo, Lm_lo, f0 = _dimer_occ(rows[..., :D_WIDTH], mlo)
+    L_hi, Lm_hi, f1 = _dimer_occ(sub_hi, hi)
+    dres, mres = _dimer_tail(index, L_lo, L_hi, Lm_lo, Lm_hi, olo)
+    return dres, mres, far | f0 | f1
+
+
+def extend_dimer(
+    index: DeviceIndex,
+    mlo: jax.Array,
+    size: jax.Array,
+    olo: jax.Array,
+) -> tuple:
+    """Two-gather dimer + mono extension, exact for ANY interval width
+    (still escalates on flagged sub-blocks via `far`)."""
+    p = jnp.stack([mlo, mlo + size])
+    q = (p >> _U32(7)).astype(_I32)
+    rows = jnp.take(index.dimer_blocks, q, axis=0)
+    L, Lm, f = _dimer_occ(rows[..., :D_WIDTH], p)
+    dres, mres = _dimer_tail(index, L[0], L[1], Lm[0], Lm[1], olo)
+    return dres, mres, f[0] | f[1]
 
 
 def _bitvec_count(rows: jax.Array, col: int, bmask: jax.Array) -> jax.Array:

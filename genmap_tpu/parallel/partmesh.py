@@ -115,6 +115,8 @@ def make_part_mapper(
             ind_blocks=jnp.zeros((1, 5), _U32),
             seed_mlo=jnp.zeros((1,), _U32),  # seeding off on the part mesh
             seed_size=jnp.zeros((1,), _U32),
+            dimer_blocks=jnp.zeros((1, 2), _U32),  # mono path on the part mesh
+            C2=jnp.zeros((16,), _U32),
             has_n=has_n,
             sampling=sampling,
             n_total=0,  # unused: the traced n_tot[0] is passed explicitly
