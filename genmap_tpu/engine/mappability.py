@@ -105,6 +105,7 @@ class MappabilityEngine:
         batch_kmers: int = 0,
         dedup: bool = True,
         light: bool = False,
+        dimer_tier: bool | None = None,
     ):
         self.data = data
         self.batch_kmers = batch_kmers
@@ -146,6 +147,23 @@ class MappabilityEngine:
             self.batch_blocks = -(-batch_blocks // n) * n
         self._text = None
         self.layouts = file_layouts(data)
+        if dimer_tier is None:
+            # a block escalates if ANY of its ~100-300 state gathers touches
+            # a flagged sub-block, so the tier only pays off when the flag
+            # fraction is well below 1/gathers (real genomes: ~1e-5)
+            dimer_tier = tiers is DEFAULT_TIERS and all(
+                p.dimer is not None and p.dimer_flag_frac < 1e-3
+                for p in data.parts
+            )
+        if dimer_tier and not self.part_sharded:
+            # dimer tier 0: two pattern chars per rank-row gather (~2x).
+            # Blocks that touch a flagged (sentinel/N-adjacent) sub-block or
+            # overflow escalate into the mono ladder unchanged.  Dense flags
+            # (tiny or N-riddled genomes) would make the tier pure overhead,
+            # hence the flag-fraction gate.
+            import dataclasses as _dc
+
+            tiers = (_dc.replace(tiers[0], dimer=True),) + tiers[1:]
         self.tiers = tiers
         self._runners: dict = {}
         self._locate_fns = [
@@ -367,10 +385,13 @@ class MappabilityEngine:
             """(time_cost, peak_slots) per block at this tier.
 
             time ~ total gathered rows ~ sum of per-step pool sizes plus the
-            extension steps; MEMORY ~ the widest live state tensor, i.e. the
-            peak pool (or the full extension frontier), times the batch."""
+            extension steps (halved on a dimer tier: two chars per gather);
+            MEMORY ~ the widest live state tensor, i.e. the peak pool (or the
+            full extension frontier), times the batch."""
             pools = infix_pool_schedule(plans, K - o, n_max, tier.f_search / 4.0)
             cost = int(pools.sum()) + 2 * J * tier.f_extend
+            if tier.dimer:
+                cost //= 2
             peak = max(int(pools.max()), J * tier.f_extend)
             return cost, peak
 

@@ -208,6 +208,9 @@ def _build_part(
 
         dimer_blocks = build_dimer_rows(bwt, sbits, bwt2, s2bits)
         del bwt2, s2bits
+        dimer_flag_frac = float(
+            ((dimer_blocks[:, 60] >> 31) & 1).mean()
+        )
 
     # C array over real symbols, sentinels smallest (char_counts[0] counts
     # sentinel bytes; real chars are stored shifted by one in ctext)
@@ -246,6 +249,7 @@ def _build_part(
         nseq_part=nseq_g,
         dimer=dimer_blocks,
         C2=C2,
+        dimer_flag_frac=dimer_flag_frac if use_dimer else 1.0,
     )
 
 
@@ -289,7 +293,8 @@ def _build_part_to_dir(args) -> str:
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(
             {"length": part.fwd.length, "seq_off": seq_off, "nseq_part": part.nseq_part,
-             "dimer": part.dimer is not None},
+             "dimer": part.dimer is not None,
+             "dimer_flag_frac": part.dimer_flag_frac},
             f,
         )
     return out_dir
@@ -317,6 +322,7 @@ def _load_part_dir(out_dir: str, has_n: bool) -> IndexPart:
         if meta.get("dimer")
         else None,
         C2=np.load(os.path.join(out_dir, "C2.npy")) if meta.get("dimer") else None,
+        dimer_flag_frac=meta.get("dimer_flag_frac", 1.0),
     )
 
 

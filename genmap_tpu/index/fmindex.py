@@ -350,6 +350,10 @@ class IndexPart:
     # the interval of the string c1c2
     dimer: np.ndarray | None = None
     C2: np.ndarray | None = None
+    # fraction of flagged (sentinel/N-adjacent) dimer sub-blocks; the engine
+    # only schedules the dimer tier when this is tiny (flagged hits escalate
+    # whole blocks, so dense flags would make the tier pure overhead)
+    dimer_flag_frac: float = 1.0
 
     @property
     def n_total(self) -> int:
@@ -427,6 +431,7 @@ class FMIndexData:
                     "seq_off": p.seq_off,
                     "nseq_part": p.nseq_part,
                     "dimer": p.dimer is not None,
+                    "dimer_flag_frac": p.dimer_flag_frac,
                 }
                 for p in self.parts
             ],
@@ -500,6 +505,7 @@ class FMIndexData:
                     C2=np.load(os.path.join(path, f"p{i}_C2.npy"))
                     if pm.get("dimer")
                     else None,
+                    dimer_flag_frac=pm.get("dimer_flag_frac", 1.0),
                 )
             )
         return FMIndexData(

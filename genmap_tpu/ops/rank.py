@@ -520,14 +520,22 @@ def extend_dimer(
     size: jax.Array,
     olo: jax.Array,
 ) -> tuple:
-    """Two-gather dimer + mono extension, exact for ANY interval width
-    (still escalates on flagged sub-blocks via `far`)."""
+    """Two-gather dimer + mono extension, exact for ANY interval width.
+
+    A wide slice can span sub-blocks whose flags the two bound gathers never
+    see, and any sentinel/N-adjacent row INSIDE the slice breaks the olo
+    formulas (its E0 / one-char-end / N terms were dropped).  Those rows are
+    exactly the ones missing from L_15, so `size != L_15(slice)` detects them
+    in O(1) and escalates (`far`) — no interior gathers needed.  (The fast
+    path's window is <= 2 sub-blocks, both flag-checked, so it needs no such
+    term.)"""
     p = jnp.stack([mlo, mlo + size])
     q = (p >> _U32(7)).astype(_I32)
     rows = jnp.take(index.dimer_blocks, q, axis=0)
     L, Lm, f = _dimer_occ(rows[..., :D_WIDTH], p)
     dres, mres = _dimer_tail(index, L[0], L[1], Lm[0], Lm[1], olo)
-    return dres, mres, f[0] | f[1]
+    invalid_in_slice = (L[1][..., 15] - L[0][..., 15]) != size
+    return dres, mres, f[0] | f[1] | invalid_in_slice
 
 
 def _bitvec_count(rows: jax.Array, col: int, bmask: jax.Array) -> jax.Array:

@@ -45,13 +45,17 @@ class Tier:
     `exact=False` uses the one-gather-per-state fast rank path
     (ops/rank.py extend_core_fast), which is exact only for intervals that
     fit the gathered 1024-symbol window; wider intervals flag the block and
-    it re-runs on the next (exact) tier.  Capacity and gather mode only
+    it re-runs on the next (exact) tier.  `dimer=True` consumes TWO pattern
+    characters per gather from the dimer rank rows (ops/rank.py
+    extend_dimer*); blocks touching a flagged (sentinel/N-adjacent)
+    sub-block escalate to the next mono tier.  Capacity and gather mode only
     affect speed, never results."""
 
     f_search: int
     f_collect: int
     f_extend: int
     exact: bool = True
+    dimer: bool = False
 
 
 DEFAULT_TIERS = (
@@ -110,17 +114,18 @@ def infix_pool_schedule(plans, infix_off, n_total, scale: float = 1.0):
     return pools
 
 
-def exact_prefix_steps(n_total: int) -> int:
+def exact_prefix_steps(n_total: int, target: int = 64) -> int:
     """Number of initial infix steps run on the exact two-gather path in a
     fast tier: search states start at interval size n_total and shrink ~4x
-    per consumed character, so after ceil(log4(n/64)) steps a typical
-    interval is ~64 — comfortably inside the 512-symbol one-gather window.
-    Repeat-heavy blocks that stay wide longer are caught by the `far` flag
-    and escalate to an exact tier."""
+    per consumed character, so after ceil(log4(n/target)) steps a typical
+    interval is ~target — comfortably inside the one-gather window (512
+    usable symbols for mono rows -> target 64; 128 for dimer rows -> target
+    16).  Repeat-heavy blocks that stay wide longer are caught by the `far`
+    flag and escalate to an exact tier."""
     import math
 
     n = max(int(n_total), 1)
-    return max(0, math.ceil(math.log(n / 64, 4))) if n > 64 else 0
+    return max(0, math.ceil(math.log(n / target, 4))) if n > target else 0
 
 
 def _compact(arrays, valid, F):
@@ -214,6 +219,94 @@ def _candidate_step_dir(
     return nflo, nrlo, nsz, err2, valid2, far
 
 
+def _candidate_step_fused(
+    index, rightv, consume, flo, rlo, size, err, valid, nchA, nchB,
+    u_mid, u_end, l_mid, l_end, exact=False,
+):
+    """Mixed-direction 1-or-2-character candidate step on the DIMER table.
+
+    `consume` (per state, broadcastable): 2 = dimer step consuming needle
+    chars (nchA then nchB), 1 = mono step consuming nchA, 0 = passthrough.
+    All modes share the step's single dimer-row gather (mono les are the
+    thresholds 3,7,11,15 of the same row).  `u_mid`/`l_mid` are the
+    cumulative error bounds after the FIRST consumed char — they matter when
+    an optimal-search-scheme block boundary falls between the two fused
+    chars (enforcing them only at the pair end would break the scheme's
+    disjoint-error-pattern partition).  For plain extension both pairs are
+    (errors, errors) / (0, 0) and the mid check is implied.
+
+    Returns (nflo, nrlo, nsize, err2, valid2, far) with a 16-wide candidate
+    axis; mono candidates occupy slots 0..A-1, passthrough slot 0.  `far`
+    marks states whose gather window was too narrow or flagged — their
+    candidates are invalidated and the caller escalates the block to a mono
+    tier.
+    """
+    from genmap_tpu.ops.rank import comp_perm, extend_dimer, extend_dimer_fast
+
+    mlo = jnp.where(rightv, rlo, flo)
+    olo = jnp.where(rightv, flo, rlo)
+    if exact:
+        dres, mres, far = extend_dimer(index, mlo, size, olo)
+    else:
+        dres, mres, far = extend_dimer_fast(index, mlo, size, olo)
+    far = far & valid & (consume > 0)
+    d_mlo, d_size, d_olo = dres
+    m_mlo, m_size, m_olo = mres
+    A = m_mlo.shape[-1]
+    rb = rightv[..., None]
+
+    # --- dimer candidates: table code t = c2*4 + c1 (prepended dimer c1c2).
+    # Consumed needle chars: left step consumes (first=c2, second=c1);
+    # right step appends (d1, d2) = (comp(c2), comp(c1)).
+    codes = np.arange(16)
+    c2v, c1v = codes >> 2, codes & 3
+    firstL = jnp.asarray(c2v, _I32)
+    secondL = jnp.asarray(c1v, _I32)
+    first = jnp.where(rb, 3 - firstL, firstL)
+    second = jnp.where(rb, 3 - secondL, secondL)
+    dA = (first != nchA[..., None].astype(_I32)) | (nchA[..., None] >= 4)
+    dB = (second != nchB[..., None].astype(_I32)) | (nchB[..., None] >= 4)
+    err_mid = err[..., None] + dA.astype(_I32)
+    err_d = err_mid + dB.astype(_I32)
+    ok_d = (
+        (err_mid <= u_mid)
+        & (err_mid >= l_mid)
+        & (err_d <= u_end)
+        & (err_d >= l_end)
+        & (d_size > 0)
+    )
+    d_flo = jnp.where(rb, d_olo, d_mlo)
+    d_rlo = jnp.where(rb, d_mlo, d_olo)
+
+    # --- mono candidates (slots 0..A-1): axis = consumed char; right steps
+    # read the comp-permuted table results (same as the mono path).
+    perm = jnp.asarray(comp_perm(A))
+    mm = jnp.where(rb, m_mlo[..., perm], m_mlo)
+    ms = jnp.where(rb, m_size[..., perm], m_size)
+    mo = jnp.where(rb, m_olo[..., perm], m_olo)
+    candm = jnp.arange(A, dtype=_I32)
+    dAm = (candm != nchA[..., None].astype(_I32)) | (nchA[..., None] >= 4)
+    err_m = err[..., None] + dAm.astype(_I32)
+    ok_m = (err_m <= u_end) & (err_m >= l_end) & (ms > 0)
+    m_flo = jnp.where(rb, mo, mm)
+    m_rlo = jnp.where(rb, mm, mo)
+
+    def pad16(x, fill):
+        padshape = x.shape[:-1] + (16 - A,)
+        return jnp.concatenate([x, jnp.full(padshape, fill, x.dtype)], axis=-1)
+
+    c0 = jnp.arange(16) == 0
+    cons = consume[..., None]  # broadcast over the candidate axis
+
+    nflo = jnp.where(cons == 2, d_flo, jnp.where(cons == 1, pad16(m_flo, 0), flo[..., None]))
+    nrlo = jnp.where(cons == 2, d_rlo, jnp.where(cons == 1, pad16(m_rlo, 0), rlo[..., None]))
+    nsize = jnp.where(cons == 2, d_size, jnp.where(cons == 1, pad16(ms, 0), size[..., None]))
+    err2 = jnp.where(cons == 2, err_d, jnp.where(cons == 1, pad16(err_m, 0), err[..., None]))
+    ok = jnp.where(cons == 2, ok_d, jnp.where(cons == 1, pad16(ok_m, False), c0))
+    valid2 = valid[..., None] & ok & ~far[..., None]
+    return nflo, nrlo, nsize, err2, valid2, far
+
+
 def _flatten2(x):
     return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
 
@@ -244,6 +337,45 @@ def _plan_schedule(plans, infix_off):
             t += n
         assert t == T
     return pos, right, u, lreq
+
+
+def _plan_schedule_fused(plans, infix_off, t0: int):
+    """Fuse each plan's char steps [t0:] into 1- or 2-char dimer steps.
+
+    Two consecutive chars fuse iff the plan consumes them in the same
+    direction (segments are maximal same-direction runs, so only segment
+    boundaries force single steps).  Plans finish after different fused-step
+    counts; shorter plans pad with consume=0 (passthrough).  Returns arrays
+    [Tf, P]: consume, right, posA, posB, u_mid, u_end, l_mid, l_end, and
+    charidx (chars consumed before the step; == T for pad steps).
+    """
+    pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
+    T, P = u_s.shape
+    per_plan = []
+    for p in range(P):
+        steps = []
+        i = t0
+        while i < T:
+            if i + 1 < T and right_s[i, p] == right_s[i + 1, p]:
+                steps.append(
+                    (2, right_s[i, p], pos_s[i, p], pos_s[i + 1, p],
+                     u_s[i, p], u_s[i + 1, p], lreq_s[i, p], lreq_s[i + 1, p], i)
+                )
+                i += 2
+            else:
+                steps.append(
+                    (1, right_s[i, p], pos_s[i, p], pos_s[i, p],
+                     u_s[i, p], u_s[i, p], lreq_s[i, p], lreq_s[i, p], i)
+                )
+                i += 1
+        per_plan.append(steps)
+    Tf = max(len(s) for s in per_plan) if per_plan else 0
+    out = np.zeros((9, Tf, P), np.int32)
+    out[8] = T  # charidx of pad steps
+    for p, steps in enumerate(per_plan):
+        for t, s in enumerate(steps):
+            out[:, t, p] = s
+    return out
 
 
 def extension_extra_estimate(plans, infix_off, n_total) -> float:
@@ -410,6 +542,166 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
     return (flo, rlo, size, err, valid), ovf
 
 
+def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
+                        n_total, exact_steps, n_static):
+    """Pooled infix search on the dimer table: ~half the gathers of the mono
+    path.  Structure mirrors _search_infix (seeded prefix, per-step pool
+    schedule, plan-id-carrying pooled states); steps consume 1 or 2 chars per
+    the fused plan schedule, and the first fused steps whose chars fall in
+    the exact prefix use the two-gather exact dimer path (wide intervals)."""
+    P = len(plans)
+    pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
+    T = len(pos_s)
+    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0)
+
+    from genmap_tpu.ops.rank import SEED_T0, seed_level_offset
+
+    t_seed = 0
+    if index.has_seed:
+        t_seed = min(SEED_T0, T)
+        while t_seed > 0 and u_s[:t_seed].max() > 0:
+            t_seed -= 1
+    Fp = int(pools[t_seed]) if t_seed < T else int(pools[-1])
+
+    slot_plan = jnp.arange(Fp, dtype=_I32) % P
+    plan = jnp.broadcast_to(slot_plan, (B, Fp))
+    err = jnp.zeros((B, Fp), _I32)
+    ovf = jnp.zeros((B,), bool)
+    if t_seed > 0:
+        off = seed_level_offset(t_seed)
+        pw = (4 ** np.arange(t_seed - 1, -1, -1, dtype=np.int64)).astype(np.uint32)
+        mlos, sizes, olos, valids = [], [], [], []
+        for p in range(P):
+            a_p = int(pos_s[:t_seed, p].min())
+            w = needles[:, a_p : a_p + t_seed].astype(_U32)
+            okw = (w < 4).all(axis=-1)
+            code = (jnp.minimum(w, 3) * jnp.asarray(pw)).sum(axis=-1)
+            rc_code = ((_U32(3) - jnp.minimum(w, 3)) * jnp.asarray(pw[::-1])).sum(
+                axis=-1
+            )
+            mlos.append(jnp.take(index.seed_mlo, (off + code).astype(_I32)))
+            sizes.append(jnp.take(index.seed_size, (off + code).astype(_I32)))
+            olos.append(jnp.take(index.seed_mlo, (off + rc_code).astype(_I32)))
+            valids.append(okw)
+        pad = Fp - P
+        z = jnp.zeros((B, pad), _U32)
+
+        def _col(parts, padv):
+            return jnp.concatenate([jnp.stack(parts, axis=-1), padv], axis=-1)
+
+        flo = _col(mlos, z)
+        rlo = _col(olos, z)
+        size = _col(sizes, z)
+        valid = _col([v & (s > 0) for v, s in zip(valids, sizes)],
+                     jnp.zeros((B, pad), bool))
+    else:
+        flo = jnp.zeros((B, Fp), _U32)
+        rlo = jnp.zeros((B, Fp), _U32)
+        size = jnp.where(jnp.arange(Fp) < P, _U32(n_total), _U32(0)) * jnp.ones(
+            (B, 1), _U32
+        )
+        valid = jnp.broadcast_to(jnp.arange(Fp) < P, (B, Fp))
+
+    sched = _plan_schedule_fused(plans, infix_off, t_seed)
+    Tf = sched.shape[1]
+    pids = jnp.arange(P, dtype=_I32)
+    # per-fused-step pool size: widest over the plans' char positions
+    charidx = sched[8]  # [Tf, P]
+    # fused step t's pool: the max over its consumed char span — the entering
+    # carry holds the PREVIOUS step's end-char survivors, so shrinking
+    # straight to the end-char pool would skip a decay stage and compact a
+    # still-large population into too few slots (measured: 83% of blocks
+    # overflowed at (36,2) with end-char-only pools vs ~5% on the mono path)
+    consume_s = sched[0]  # [Tf, P]
+    pools_f = np.array(
+        [
+            max(
+                int(
+                    pools[
+                        min(int(c), T - 1) : min(int(c) + max(1, int(k)), T)
+                    ].max()
+                )
+                if int(c) < T
+                else int(pools[T - 1])
+                for c, k in zip(charidx[t], consume_s[t])
+            )
+            for t in range(Tf)
+        ],
+        np.int64,
+    ) if Tf else np.zeros(0, np.int64)
+    # exact (two-gather) fused steps: any active plan char in the exact prefix
+    exact_f = np.array(
+        [bool((charidx[t] < min(exact_steps, T)).any()) for t in range(Tf)]
+    ) if Tf else np.zeros(0, bool)
+
+    def body_for(exact, F):
+        def body(carry, x):
+            flo, rlo, size, err, plan, valid, ovf = carry
+            consume, rightv, posA, posB, u_mid, u_end, l_mid, l_end = x  # [P]
+            nchA_c = needles[:, posA].astype(_U32)  # [B, P]
+            nchB_c = needles[:, posB].astype(_U32)
+            ph = plan[..., None] == pids  # [B, F, P]
+            phu = ph.astype(_U32)
+            rv = (ph & (rightv > 0)).any(axis=-1)
+            cons = (ph * consume).sum(axis=-1)
+            um = (ph * u_mid).sum(axis=-1)
+            ue = (ph * u_end).sum(axis=-1)
+            lm = (ph * l_mid).sum(axis=-1)
+            le = (ph * l_end).sum(axis=-1)
+            nchA = (phu * nchA_c[:, None, :]).sum(axis=-1)
+            nchB = (phu * nchB_c[:, None, :]).sum(axis=-1)
+            nflo, nrlo, nsize, err2, valid2, far = _candidate_step_fused(
+                index, rv, cons, flo, rlo, size, err, valid, nchA, nchB,
+                um[..., None], ue[..., None], lm[..., None], le[..., None],
+                exact=exact,
+            )
+            A = nflo.shape[-1]
+            plan_c = jnp.broadcast_to(plan[..., None], plan.shape + (A,))
+            arrays = tuple(
+                _flatten2(a) for a in (nflo, nrlo, nsize, err2, plan_c)
+            )
+            v = _flatten2(valid2)
+            (flo, rlo, size, err, plan), valid, of = _compact(arrays, v, F)
+            ovf = ovf | of | far.any(axis=-1)
+            return (flo, rlo, size, err, plan, valid, ovf), None
+
+        return body
+
+    def resize(carry, Fnew, Fold):
+        if Fnew == Fold:
+            return carry
+        flo, rlo, size, err, plan, valid, ovf = carry
+        if Fnew > Fold:
+            pad = Fnew - Fold
+
+            def up(a):
+                z = jnp.zeros(a.shape[:-1] + (pad,), a.dtype)
+                return jnp.concatenate([a, z], axis=-1)
+
+            return (up(flo), up(rlo), up(size), up(err), up(plan),
+                    up(valid), ovf)
+        (flo, rlo, size, err, plan), valid, of = _compact(
+            (flo, rlo, size, err, plan), valid, Fnew
+        )
+        return (flo, rlo, size, err, plan, valid, ovf | of)
+
+    carry = (flo, rlo, size, err, plan, valid, ovf)
+    Fcur = Fp
+    t = 0
+    while t < Tf:
+        Fph = int(pools_f[t])
+        hi = t
+        while hi < Tf and int(pools_f[hi]) == Fph and exact_f[hi] == exact_f[t]:
+            hi += 1
+        carry = resize(carry, Fph, Fcur)
+        Fcur = Fph
+        xs = tuple(jnp.asarray(sched[k, t:hi]) for k in range(8))
+        carry, _ = jax.lax.scan(body_for(bool(exact_f[t]), Fph), carry, xs)
+        t = hi
+    flo, rlo, size, err, plan, valid, ovf = carry
+    return (flo, rlo, size, err, valid), ovf
+
+
 def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors,
                exact):
     """One mixed-direction extension scan over a [B, M, Fe] frontier.
@@ -479,6 +771,74 @@ def _balanced_schedule(n_right, n_left, pos_right, pos_left):
             pos[nr + t, m] = pos_left[m][t]
             act[nr + t, m] = True
     return pos, right, act
+
+
+def _balanced_schedule_fused(n_right, n_left, pos_right, pos_left):
+    """Fused analog of _balanced_schedule: [T, M] (consume, right, posA, posB).
+
+    Each slot's right run then left run, chars fused pairwise within a run
+    (runs are same-direction by construction); odd runs end with one
+    single-char step.  Slots pad with consume=0 (passthrough).
+    """
+    M = len(n_right)
+    per_slot = []
+    for m in range(M):
+        steps = []
+        for is_right, run, posl in (
+            (True, int(n_right[m]), pos_right[m]),
+            (False, int(n_left[m]), pos_left[m]),
+        ):
+            i = 0
+            while i < run:
+                if i + 1 < run:
+                    steps.append((2, is_right, posl[i], posl[i + 1]))
+                    i += 2
+                else:
+                    steps.append((1, is_right, posl[i], posl[i]))
+                    i += 1
+        per_slot.append(steps)
+    T = max((len(s) for s in per_slot), default=0)
+    out = np.zeros((4, T, M), np.int32)
+    for m, steps in enumerate(per_slot):
+        for t, s in enumerate(steps):
+            out[0, t, m] = s[0]
+            out[1, t, m] = int(s[1])
+            out[2, t, m] = s[2]
+            out[3, t, m] = s[3]
+    return out
+
+
+def _ext_phase_fused(index, state, needles, sched, Fe, errors, exact):
+    """One mixed-direction fused extension scan over a [B, M, Fe] frontier.
+
+    sched: [4, T, M] (consume, right, posA, posB) static arrays; slots with
+    consume=0 pass through (built into _candidate_step_fused).  The
+    extension's error bound is a single cumulative cap, so the fused step's
+    mid-bound check is implied (errors only accumulate)."""
+    flo, rlo, size, err, valid, ovf = state
+    if sched.shape[1] == 0:
+        return state
+    xs = tuple(jnp.asarray(sched[k]) for k in range(4))
+    zero = jnp.zeros((), _I32)
+
+    def body(carry, x):
+        flo, rlo, size, err, valid, ovf = carry
+        consume, rightv, posA, posB = x  # [M] each
+        nchA = needles[:, posA].astype(_U32)[:, :, None]  # [B, M, 1]
+        nchB = needles[:, posB].astype(_U32)[:, :, None]
+        nflo, nrlo, nsize, err2, valid2, far = _candidate_step_fused(
+            index, (rightv > 0)[None, :, None], consume[None, :, None],
+            flo, rlo, size, err, valid, nchA, nchB,
+            errors, errors, zero, zero, exact=exact,
+        )
+        arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
+        v = _flatten2(valid2)
+        (flo, rlo, size, err), valid, of = _compact(arrays, v, Fe)
+        ovf = ovf | of.any(axis=-1) | far.any(axis=(-2, -1))
+        return (flo, rlo, size, err, valid, ovf), None
+
+    state, _ = jax.lax.scan(body, state, xs)
+    return state
 
 
 def _tree_levels(J: int, K: int) -> list:
@@ -558,10 +918,16 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
         state = tuple(
             jnp.take(a, jm, axis=1) for a in (flo, rlo, size, err, valid)
         ) + (ovf,)
-        pos, right, act = _balanced_schedule(n_right, n_left, pos_right, pos_left)
-        if len(pos):
-            state = _ext_phase(index, state, needles, pos, right, act, Fe,
-                               errors, tier.exact)
+        if tier.dimer:
+            sched = _balanced_schedule_fused(n_right, n_left, pos_right, pos_left)
+            if sched.shape[1]:
+                state = _ext_phase_fused(index, state, needles, sched, Fe,
+                                         errors, exact=False)
+        else:
+            pos, right, act = _balanced_schedule(n_right, n_left, pos_right, pos_left)
+            if len(pos):
+                state = _ext_phase(index, state, needles, pos, right, act, Fe,
+                                   errors, tier.exact)
 
     flo, rlo, size, err, valid, ovf = state
     return (flo, rlo, size, err, valid), ovf
@@ -578,7 +944,8 @@ def block_mapper_impl(
     from genmap_tpu.ops.rank import rc_strand_count
 
     Bl = needles.shape[0]  # local batch (per shard under shard_map)
-    survivors, ovf1 = _search_infix(
+    infix_fn = _search_infix_dimer if tier.dimer else _search_infix
+    survivors, ovf1 = infix_fn(
         index, plans, infix_off, needles, Bl, tier, n_total, exact_steps,
         n_static if n_static is not None else n_total,
     )
@@ -656,7 +1023,9 @@ def make_block_mapper(
     plans = plans_for(errors, o)
     infix_off = K - o
     n_total = index.n_total
-    ex_steps = exact_prefix_steps(n_total)
+    if tier.dimer:
+        assert index.has_dimer, "dimer tier on an index without dimer rows"
+    ex_steps = exact_prefix_steps(n_total, 16 if tier.dimer else 64)
 
     from genmap_tpu.ops.rank import extract_needles
 
