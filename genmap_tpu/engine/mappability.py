@@ -147,23 +147,29 @@ class MappabilityEngine:
             self.batch_blocks = -(-batch_blocks // n) * n
         self._text = None
         self.layouts = file_layouts(data)
-        if dimer_tier is None:
-            # a block escalates if ANY of its ~100-300 state gathers touches
-            # a flagged sub-block, so the tier only pays off when the flag
-            # fraction is well below 1/gathers (real genomes: ~1e-5)
-            dimer_tier = tiers is DEFAULT_TIERS and all(
+        # Dimer-tier policy.  `dimer_tier`: None = auto, True = force for
+        # every config, False = never.  Auto availability needs (a) dimer
+        # rows in every part and (b) a tiny flagged-sub-block fraction — a
+        # block escalates if ANY of its ~100-300 state gathers touches a
+        # flagged sub-block, so the tier only pays off when flags are well
+        # below 1/gathers (real genomes ~1e-5).  Whether an ELIGIBLE config
+        # actually uses it is decided per compute call from its pool
+        # schedule (_execute_blocks): the dimer step's fixed op overhead
+        # only amortizes at wide frontiers (measured on the chip: 1.6x
+        # SLOWER at (100,2)'s pool-4 frontiers, winning only at the
+        # pool-100+ frontiers of short-infix configs like (30,2)).
+        self._dimer_mode = dimer_tier
+        self._dimer_ok = (
+            not self.part_sharded
+            and tiers is DEFAULT_TIERS
+            and all(
                 p.dimer is not None and p.dimer_flag_frac < 1e-3
                 for p in data.parts
             )
-        if dimer_tier and not self.part_sharded:
-            # dimer tier 0: two pattern chars per rank-row gather (~2x).
-            # Blocks that touch a flagged (sentinel/N-adjacent) sub-block or
-            # overflow escalate into the mono ladder unchanged.  Dense flags
-            # (tiny or N-riddled genomes) would make the tier pure overhead,
-            # hence the flag-fraction gate.
-            import dataclasses as _dc
-
-            tiers = (_dc.replace(tiers[0], dimer=True),) + tiers[1:]
+        )
+        self._dimer_forced_ok = not self.part_sharded and all(
+            p.dimer is not None for p in data.parts
+        )
         self.tiers = tiers
         self._runners: dict = {}
         self._locate_fns = [
@@ -178,6 +184,7 @@ class MappabilityEngine:
         self.stats = {
             "overflow_blocks": 0, "max_tier": 0, "batches": 0,
             "dispatch_s": 0.0, "fetch_s": 0.0, "scatter_s": 0.0,
+            "dimer_tier": False,
         }
         # global sequence id -> file ordinal, for exclude-pseudo
         self.seq_file_id = np.zeros(data.nseq, dtype=np.int64)
@@ -403,6 +410,18 @@ class MappabilityEngine:
             # branch survivors of the infix are expected: start the extension
             # frontier at 4 slots instead of overflowing most blocks
             tiers[0] = dataclasses.replace(tiers[0], f_extend=4)
+
+        # per-config dimer decision (see __init__): wide-frontier configs
+        # run tier 0 on the dimer table (2 chars/gather)
+        use_dimer = False
+        if self._dimer_mode is True and self._dimer_forced_ok:
+            use_dimer = True
+        elif self._dimer_mode is None and self._dimer_ok:
+            pools0 = infix_pool_schedule(plans, K - o, n_max, 1.0)
+            use_dimer = len(pools0) > 0 and float(pools0.mean()) >= 16.0
+        if use_dimer and not tiers[0].dimer:
+            tiers[0] = dataclasses.replace(tiers[0], dimer=True)
+        self.stats["dimer_tier"] = use_dimer
 
         # two batch-size budgets: WORK bounds per-batch device TIME (total
         # state-slot-steps — keep batches near the device's latency sweet

@@ -455,6 +455,7 @@ def _dimer_tail(
     Lm_lo: jax.Array,
     Lm_hi: jax.Array,
     olo: jax.Array,
+    with_mono: bool = True,
 ) -> tuple:
     """FMD results from the two bounds' threshold counts.
 
@@ -474,6 +475,8 @@ def _dimer_tail(
     d_mlo = index.C2 + occ2_lo
     d_size = jnp.diff(S, axis=-1, prepend=z16)
     d_olo = olo[..., None] + (S[..., 15:16] - S)
+    if not with_mono:
+        return (d_mlo, d_size, d_olo), None
 
     Sm = Lm_hi - Lm_lo
     zm = Lm_lo[..., :1] * _U32(0)
@@ -495,23 +498,28 @@ def extend_dimer_fast(
     mlo: jax.Array,
     size: jax.Array,
     olo: jax.Array,
+    with_mono: bool = True,
 ) -> tuple:
     """One-gather dimer + mono extension from the paired dimer row.
 
     Returns ((d_mlo, d_size, d_olo) [..., 16], (m_mlo, m_size, m_olo)
-    [..., A], far): `far` marks states whose results are invalid — interval
-    wider than the 256-symbol window, or a flagged sub-block touched; the
-    caller escalates those blocks to a mono tier."""
+    [..., A] or None, far): `far` marks states whose results are invalid —
+    interval wider than the 256-symbol window, or a flagged sub-block
+    touched; the caller escalates those blocks to a mono tier.  Both bounds'
+    occ runs share one stacked computation (HLO op count, not element count,
+    dominates step cost at engine frontier widths)."""
     q = (mlo >> _U32(7)).astype(_I32)
     rows = jnp.take(index.dimer_blocks, q, axis=0)
     hi = mlo + size
     far = ((hi >> _U32(7)).astype(_I32) - q) > 1
     half = ((hi >> _U32(7)).astype(_I32) - q) > 0
     sub_hi = jnp.where(half[..., None], rows[..., D_WIDTH:], rows[..., :D_WIDTH])
-    L_lo, Lm_lo, f0 = _dimer_occ(rows[..., :D_WIDTH], mlo)
-    L_hi, Lm_hi, f1 = _dimer_occ(sub_hi, hi)
-    dres, mres = _dimer_tail(index, L_lo, L_hi, Lm_lo, Lm_hi, olo)
-    return dres, mres, far | f0 | f1
+    sub = jnp.stack([rows[..., :D_WIDTH], sub_hi])
+    p = jnp.stack([mlo, hi])
+    L, Lm, f = _dimer_occ(sub, p)
+    dres, mres = _dimer_tail(index, L[0], L[1], Lm[0], Lm[1], olo,
+                             with_mono=with_mono)
+    return dres, mres, far | f[0] | f[1]
 
 
 def extend_dimer(
@@ -519,6 +527,7 @@ def extend_dimer(
     mlo: jax.Array,
     size: jax.Array,
     olo: jax.Array,
+    with_mono: bool = True,
 ) -> tuple:
     """Two-gather dimer + mono extension, exact for ANY interval width.
 
@@ -533,7 +542,8 @@ def extend_dimer(
     q = (p >> _U32(7)).astype(_I32)
     rows = jnp.take(index.dimer_blocks, q, axis=0)
     L, Lm, f = _dimer_occ(rows[..., :D_WIDTH], p)
-    dres, mres = _dimer_tail(index, L[0], L[1], Lm[0], Lm[1], olo)
+    dres, mres = _dimer_tail(index, L[0], L[1], Lm[0], Lm[1], olo,
+                             with_mono=with_mono)
     invalid_in_slice = (L[1][..., 15] - L[0][..., 15]) != size
     return dres, mres, f[0] | f[1] | invalid_in_slice
 

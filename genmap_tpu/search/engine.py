@@ -221,7 +221,7 @@ def _candidate_step_dir(
 
 def _candidate_step_fused(
     index, rightv, consume, flo, rlo, size, err, valid, nchA, nchB,
-    u_mid, u_end, l_mid, l_end, exact=False,
+    u_mid, u_end, l_mid, l_end, exact=False, with_mono=True, with_pass=True,
 ):
     """Mixed-direction 1-or-2-character candidate step on the DIMER table.
 
@@ -240,19 +240,24 @@ def _candidate_step_fused(
     marks states whose gather window was too narrow or flagged — their
     candidates are invalidated and the caller escalates the block to a mono
     tier.
+
+    `with_mono`/`with_pass` are STATIC per scan segment: step wall time is
+    dominated by HLO op count at engine frontier widths, so all-dimer steps
+    (the common case) must not pay for the mono/passthrough branches.
     """
     from genmap_tpu.ops.rank import comp_perm, extend_dimer, extend_dimer_fast
 
     mlo = jnp.where(rightv, rlo, flo)
     olo = jnp.where(rightv, flo, rlo)
     if exact:
-        dres, mres, far = extend_dimer(index, mlo, size, olo)
+        dres, mres, far = extend_dimer(index, mlo, size, olo, with_mono=with_mono)
     else:
-        dres, mres, far = extend_dimer_fast(index, mlo, size, olo)
-    far = far & valid & (consume > 0)
+        dres, mres, far = extend_dimer_fast(index, mlo, size, olo,
+                                            with_mono=with_mono)
+    far = far & valid
+    if with_pass:
+        far = far & (consume > 0)
     d_mlo, d_size, d_olo = dres
-    m_mlo, m_size, m_olo = mres
-    A = m_mlo.shape[-1]
     rb = rightv[..., None]
 
     # --- dimer candidates: table code t = c2*4 + c1 (prepended dimer c1c2).
@@ -278,31 +283,49 @@ def _candidate_step_fused(
     d_flo = jnp.where(rb, d_olo, d_mlo)
     d_rlo = jnp.where(rb, d_mlo, d_olo)
 
-    # --- mono candidates (slots 0..A-1): axis = consumed char; right steps
-    # read the comp-permuted table results (same as the mono path).
-    perm = jnp.asarray(comp_perm(A))
-    mm = jnp.where(rb, m_mlo[..., perm], m_mlo)
-    ms = jnp.where(rb, m_size[..., perm], m_size)
-    mo = jnp.where(rb, m_olo[..., perm], m_olo)
-    candm = jnp.arange(A, dtype=_I32)
-    dAm = (candm != nchA[..., None].astype(_I32)) | (nchA[..., None] >= 4)
-    err_m = err[..., None] + dAm.astype(_I32)
-    ok_m = (err_m <= u_end) & (err_m >= l_end) & (ms > 0)
-    m_flo = jnp.where(rb, mo, mm)
-    m_rlo = jnp.where(rb, mm, mo)
+    if not with_mono and not with_pass:
+        valid2 = valid[..., None] & ok_d & ~far[..., None]
+        return d_flo, d_rlo, d_size, err_d, valid2, far
 
-    def pad16(x, fill):
-        padshape = x.shape[:-1] + (16 - A,)
-        return jnp.concatenate([x, jnp.full(padshape, fill, x.dtype)], axis=-1)
-
-    c0 = jnp.arange(16) == 0
     cons = consume[..., None]  # broadcast over the candidate axis
+    nflo, nrlo, nsize, err2, ok = d_flo, d_rlo, d_size, err_d, ok_d
 
-    nflo = jnp.where(cons == 2, d_flo, jnp.where(cons == 1, pad16(m_flo, 0), flo[..., None]))
-    nrlo = jnp.where(cons == 2, d_rlo, jnp.where(cons == 1, pad16(m_rlo, 0), rlo[..., None]))
-    nsize = jnp.where(cons == 2, d_size, jnp.where(cons == 1, pad16(ms, 0), size[..., None]))
-    err2 = jnp.where(cons == 2, err_d, jnp.where(cons == 1, pad16(err_m, 0), err[..., None]))
-    ok = jnp.where(cons == 2, ok_d, jnp.where(cons == 1, pad16(ok_m, False), c0))
+    if with_mono:
+        # mono candidates (slots 0..A-1): axis = consumed char; right steps
+        # read the comp-permuted table results (same as the mono path).
+        m_mlo, m_size, m_olo = mres
+        A = m_mlo.shape[-1]
+        perm = jnp.asarray(comp_perm(A))
+        mm = jnp.where(rb, m_mlo[..., perm], m_mlo)
+        ms = jnp.where(rb, m_size[..., perm], m_size)
+        mo = jnp.where(rb, m_olo[..., perm], m_olo)
+        candm = jnp.arange(A, dtype=_I32)
+        dAm = (candm != nchA[..., None].astype(_I32)) | (nchA[..., None] >= 4)
+        err_m = err[..., None] + dAm.astype(_I32)
+        ok_m = (err_m <= u_end) & (err_m >= l_end) & (ms > 0)
+        m_flo = jnp.where(rb, mo, mm)
+        m_rlo = jnp.where(rb, mm, mo)
+
+        def pad16(x, fill):
+            padshape = x.shape[:-1] + (16 - A,)
+            return jnp.concatenate(
+                [x, jnp.full(padshape, fill, x.dtype)], axis=-1
+            )
+
+        nflo = jnp.where(cons == 2, nflo, pad16(m_flo, 0))
+        nrlo = jnp.where(cons == 2, nrlo, pad16(m_rlo, 0))
+        nsize = jnp.where(cons == 2, nsize, pad16(ms, 0))
+        err2 = jnp.where(cons == 2, err2, pad16(err_m, 0))
+        ok = jnp.where(cons == 2, ok, pad16(ok_m, False))
+
+    if with_pass:
+        c0 = jnp.arange(16) == 0
+        nflo = jnp.where(cons == 0, flo[..., None], nflo)
+        nrlo = jnp.where(cons == 0, rlo[..., None], nrlo)
+        nsize = jnp.where(cons == 0, size[..., None], nsize)
+        err2 = jnp.where(cons == 0, err[..., None], err2)
+        ok = jnp.where(cons == 0, c0, ok)
+
     valid2 = valid[..., None] & ok & ~far[..., None]
     return nflo, nrlo, nsize, err2, valid2, far
 
@@ -634,7 +657,7 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
         [bool((charidx[t] < min(exact_steps, T)).any()) for t in range(Tf)]
     ) if Tf else np.zeros(0, bool)
 
-    def body_for(exact, F):
+    def body_for(exact, F, with_mono, with_pass):
         def body(carry, x):
             flo, rlo, size, err, plan, valid, ovf = carry
             consume, rightv, posA, posB, u_mid, u_end, l_mid, l_end = x  # [P]
@@ -653,7 +676,7 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
             nflo, nrlo, nsize, err2, valid2, far = _candidate_step_fused(
                 index, rv, cons, flo, rlo, size, err, valid, nchA, nchB,
                 um[..., None], ue[..., None], lm[..., None], le[..., None],
-                exact=exact,
+                exact=exact, with_mono=with_mono, with_pass=with_pass,
             )
             A = nflo.shape[-1]
             plan_c = jnp.broadcast_to(plan[..., None], plan.shape + (A,))
@@ -685,18 +708,32 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
         )
         return (flo, rlo, size, err, plan, valid, ovf | of)
 
+    # step kinds (STATIC per scan segment): whether any plan does a 1-char
+    # step / pads this step — all-dimer segments skip those branches entirely
+    kind = [
+        (bool((consume_s[t] == 1).any()), bool((consume_s[t] == 0).any()))
+        for t in range(Tf)
+    ]
+
     carry = (flo, rlo, size, err, plan, valid, ovf)
     Fcur = Fp
     t = 0
     while t < Tf:
         Fph = int(pools_f[t])
         hi = t
-        while hi < Tf and int(pools_f[hi]) == Fph and exact_f[hi] == exact_f[t]:
+        while (
+            hi < Tf
+            and int(pools_f[hi]) == Fph
+            and exact_f[hi] == exact_f[t]
+            and kind[hi] == kind[t]
+        ):
             hi += 1
         carry = resize(carry, Fph, Fcur)
         Fcur = Fph
         xs = tuple(jnp.asarray(sched[k, t:hi]) for k in range(8))
-        carry, _ = jax.lax.scan(body_for(bool(exact_f[t]), Fph), carry, xs)
+        carry, _ = jax.lax.scan(
+            body_for(bool(exact_f[t]), Fph, kind[t][0], kind[t][1]), carry, xs
+        )
         t = hi
     flo, rlo, size, err, plan, valid, ovf = carry
     return (flo, rlo, size, err, valid), ovf
@@ -815,29 +852,43 @@ def _ext_phase_fused(index, state, needles, sched, Fe, errors, exact):
     consume=0 pass through (built into _candidate_step_fused).  The
     extension's error bound is a single cumulative cap, so the fused step's
     mid-bound check is implied (errors only accumulate)."""
-    flo, rlo, size, err, valid, ovf = state
     if sched.shape[1] == 0:
         return state
-    xs = tuple(jnp.asarray(sched[k]) for k in range(4))
     zero = jnp.zeros((), _I32)
 
-    def body(carry, x):
-        flo, rlo, size, err, valid, ovf = carry
-        consume, rightv, posA, posB = x  # [M] each
-        nchA = needles[:, posA].astype(_U32)[:, :, None]  # [B, M, 1]
-        nchB = needles[:, posB].astype(_U32)[:, :, None]
-        nflo, nrlo, nsize, err2, valid2, far = _candidate_step_fused(
-            index, (rightv > 0)[None, :, None], consume[None, :, None],
-            flo, rlo, size, err, valid, nchA, nchB,
-            errors, errors, zero, zero, exact=exact,
-        )
-        arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
-        v = _flatten2(valid2)
-        (flo, rlo, size, err), valid, of = _compact(arrays, v, Fe)
-        ovf = ovf | of.any(axis=-1) | far.any(axis=(-2, -1))
-        return (flo, rlo, size, err, valid, ovf), None
+    def body_for(with_mono, with_pass):
+        def body(carry, x):
+            flo, rlo, size, err, valid, ovf = carry
+            consume, rightv, posA, posB = x  # [M] each
+            nchA = needles[:, posA].astype(_U32)[:, :, None]  # [B, M, 1]
+            nchB = needles[:, posB].astype(_U32)[:, :, None]
+            nflo, nrlo, nsize, err2, valid2, far = _candidate_step_fused(
+                index, (rightv > 0)[None, :, None], consume[None, :, None],
+                flo, rlo, size, err, valid, nchA, nchB,
+                errors, errors, zero, zero, exact=exact,
+                with_mono=with_mono, with_pass=with_pass,
+            )
+            arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
+            v = _flatten2(valid2)
+            (flo, rlo, size, err), valid, of = _compact(arrays, v, Fe)
+            ovf = ovf | of.any(axis=-1) | far.any(axis=(-2, -1))
+            return (flo, rlo, size, err, valid, ovf), None
 
-    state, _ = jax.lax.scan(body, state, xs)
+        return body
+
+    T = sched.shape[1]
+    kind = [
+        (bool((sched[0, t] == 1).any()), bool((sched[0, t] == 0).any()))
+        for t in range(T)
+    ]
+    t = 0
+    while t < T:
+        hi = t
+        while hi < T and kind[hi] == kind[t]:
+            hi += 1
+        xs = tuple(jnp.asarray(sched[k, t:hi]) for k in range(4))
+        state, _ = jax.lax.scan(body_for(kind[t][0], kind[t][1]), state, xs)
+        t = hi
     return state
 
 

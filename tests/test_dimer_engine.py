@@ -58,12 +58,12 @@ def test_dimer_engine_matches_mono(K, e, o, with_n, repeats):
     # force the dimer tier: the auto-gate needs a flag fraction only large
     # genomes reach (tested separately in test_dimer_gate)
     eng_d = MappabilityEngine(data, batch_blocks=512, dedup=False, dimer_tier=True)
-    assert eng_d.tiers[0].dimer
     eng_m = MappabilityEngine(data, batch_blocks=512, dedup=False, dimer_tier=False)
-    assert not eng_m.tiers[0].dimer
 
     rd = eng_d.compute_file(eng_d.layouts[0], params, e, 65535)
+    assert eng_d.stats["dimer_tier"]
     rm = eng_m.compute_file(eng_m.layouts[0], params, e, 65535)
+    assert not eng_m.stats["dimer_tier"]
     np.testing.assert_array_equal(rd.c, rm.c)
     # sanity: the run must not have escalated everything off the dimer tier
     # (the dimer fast window is 256 symbols vs the mono 1024, so repeat-heavy
@@ -81,20 +81,31 @@ def test_dimer_engine_rev_compl_off_and_exact_outputs():
     K, e, o = 30, 1, 24
     params = SearchParams(length=K, overlap=o, rev_compl=False)
     eng_d = MappabilityEngine(data, batch_blocks=512, dedup=False, dimer_tier=True)
-    assert eng_d.tiers[0].dimer
     eng_m = MappabilityEngine(data, batch_blocks=512, dedup=False, dimer_tier=False)
     rd = eng_d.compute_file(eng_d.layouts[0], params, e, 255)
+    assert eng_d.stats["dimer_tier"]
     rm = eng_m.compute_file(eng_m.layouts[0], params, e, 255)
     np.testing.assert_array_equal(rd.c, rm.c)
 
 
 def test_dimer_gate():
-    """The auto-gate turns the dimer tier on for genomes whose flagged
-    sub-block fraction is tiny and off otherwise (flags escalate whole
-    blocks, compounded over ~100+ gathers per block)."""
+    """The auto-gate marks the dimer tier available only for genomes whose
+    flagged sub-block fraction is tiny (flags escalate whole blocks,
+    compounded over ~100+ gathers per block); per-config use additionally
+    requires a wide pool schedule (short-infix configs)."""
     big = _mk_data(seed=11, n=1_000_000)
     assert big.parts[0].dimer_flag_frac < 1e-3
-    assert MappabilityEngine(big, batch_blocks=64).tiers[0].dimer
+    eng = MappabilityEngine(big, batch_blocks=256)
+    assert eng._dimer_ok
+    # short infix (wide frontiers) -> dimer tier; long infix -> mono tier
+    p_short = SearchParams(length=30, overlap=26, rev_compl=True)
+    eng.compute_file(eng.layouts[0], p_short, 2, 255,
+                     intervals=[(0, 1280)])
+    assert eng.stats["dimer_tier"]
+    p_long = SearchParams(length=30, overlap=15, rev_compl=True)
+    eng.compute_file(eng.layouts[0], p_long, 0, 255,
+                     intervals=[(0, 1280)])
+    assert not eng.stats["dimer_tier"]
     tiny = _mk_data(seed=12, n=30_000, nseq=10)
     assert tiny.parts[0].dimer_flag_frac >= 1e-3
-    assert not MappabilityEngine(tiny, batch_blocks=64).tiers[0].dimer
+    assert not MappabilityEngine(tiny, batch_blocks=64)._dimer_ok
