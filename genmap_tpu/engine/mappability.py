@@ -170,6 +170,9 @@ class MappabilityEngine:
         self._dimer_forced_ok = not self.part_sharded and all(
             p.dimer is not None for p in data.parts
         )
+        # unique-infix short-circuit (see _execute_blocks); disable for
+        # debugging / A-B comparisons
+        self._probe_enabled = True
         self.tiers = tiers
         self._runners: dict = {}
         self._locate_fns = [
@@ -184,7 +187,7 @@ class MappabilityEngine:
         self.stats = {
             "overflow_blocks": 0, "max_tier": 0, "batches": 0,
             "dispatch_s": 0.0, "fetch_s": 0.0, "scatter_s": 0.0,
-            "dimer_tier": False,
+            "dimer_tier": False, "probe_skipped": 0,
         }
         # global sequence id -> file ordinal, for exclude-pseudo
         self.seq_file_id = np.zeros(data.nseq, dtype=np.int64)
@@ -225,6 +228,25 @@ class MappabilityEngine:
                 rev_compl=rev_compl,
                 with_states=with_states,
                 mesh=self.mesh,
+            )
+        return self._runners[key]
+
+    def _probe_runner(self, pi, K, errors, o, J, B, tier, cap, rev_compl):
+        key = ("probe", pi, K, errors, o, J, B, tier, rev_compl)
+        if key not in self._runners:
+            self._runners[key] = make_block_mapper(
+                self.indices[pi],
+                self.dtext,
+                K=K,
+                errors=errors,
+                overlap=o,
+                J=J,
+                B=B,
+                tier=tier,
+                cap=cap,
+                rev_compl=rev_compl,
+                mesh=self.mesh,
+                probe_only=True,
             )
         return self._runners[key]
 
@@ -395,8 +417,11 @@ class MappabilityEngine:
             extension steps (halved on a dimer tier: two chars per gather);
             MEMORY ~ the widest live state tensor, i.e. the peak pool (or the
             full extension frontier), times the batch."""
+            import math
+
+            levels = max(1, math.ceil(math.log2(max(2, J))))
             pools = infix_pool_schedule(plans, K - o, n_max, tier.f_search / 4.0)
-            cost = int(pools.sum()) + 2 * J * tier.f_extend
+            cost = int(pools.sum()) + J * levels * tier.f_extend
             if tier.dimer:
                 cost //= 2
             peak = max(int(pools.max()), J * tier.f_extend)
@@ -433,6 +458,89 @@ class MappabilityEngine:
         # 3M slots ~ 5.5 GB leaves room for an hg38-part index in HBM)
         WORK = 1 << 25
         SLOTS = 3 << 20
+
+        # ---- unique-infix short-circuit probe -------------------------------
+        # If a block's total infix survivor mass is 1, the only candidate
+        # occurrence of every one of its k-mers is the self-match, so all J
+        # frequencies are exactly 1 — the extension phase (the majority of
+        # gathered rows at (100,2)-class configs) is skipped.  Worth it when
+        # the extension cost is significant relative to the infix and the
+        # genome is mostly unique; the skip rate of the first batch decides
+        # adaptively.
+        probe_ok = (
+            self._probe_enabled
+            and collect_exact is None
+            and not csv_needed
+            and J >= 2
+            and not self.part_sharded
+            and len(pending) * J >= 1 << 15
+        )
+        if probe_ok:
+            import math
+
+            tier0 = tiers[0]
+            pools0 = infix_pool_schedule(
+                plans, K - o, n_max, tier0.f_search / 4.0
+            )
+            infix_cost = int(pools0.sum()) // (2 if tier0.dimer else 1)
+            levels = max(1, math.ceil(math.log2(max(2, J))))
+            ext_cost = (J * levels * tier0.f_extend) // (2 if tier0.dimer else 1)
+            probe_ok = ext_cost >= 0.5 * max(1, infix_cost)
+        if probe_ok:
+            cost = max(1, infix_cost)
+            peak = max(1, int(pools0.max()))
+            Bp = max(8, min(B0, WORK // cost, SLOTS // peak))
+            if self.mesh is not None:
+                nsh = self._mesh_data
+                Bp = max(nsh, -(-Bp // nsh) * nsh)
+            pruns = [
+                self._probe_runner(pi, K, errors, o, J, Bp, tier0, cap,
+                                   params.rev_compl)
+                for pi in range(len(self.indices))
+            ]
+            import time as _time
+
+            residual: list[np.ndarray] = []
+            done_blocks = 0
+            abandoned = False
+            for s in range(0, len(pending), Bp):
+                sel = pending[s : s + Bp]
+                if abandoned:
+                    residual.append(sel)
+                    continue
+                t0 = _time.perf_counter()
+                outs = self._run_batch(
+                    pruns, layout, starts[sel], cnts[sel], Bp, K, J, params
+                )
+                from genmap_tpu.parallel.dist import fetch
+
+                mass = np.zeros(Bp, np.uint64)
+                ovf = np.zeros(Bp, bool)
+                nwin = np.zeros(Bp, bool)
+                for out in outs:
+                    mass += fetch(out["mass"]).astype(np.uint64)
+                    ovf |= fetch(out["overflow"])
+                    nwin |= fetch(out["nwin"])
+                self.stats["dispatch_s"] += _time.perf_counter() - t0
+                self.stats["batches"] += 1
+                nb = len(sel)
+                skip = (mass[:nb] == 1) & ~ovf[:nb] & ~nwin[:nb]
+                for bi in np.nonzero(skip)[0]:
+                    s0 = int(starts[sel[bi]])
+                    c[s0 : s0 + int(cnts[sel[bi]])] = 1
+                residual.append(sel[~skip])
+                done_blocks += int(skip.sum())
+                if progress is not None:
+                    progress.add(int(skip.sum()))
+                if s == 0 and skip.mean() < 0.3:
+                    # repeat-heavy genome/config: probing would just add a
+                    # second infix pass for most blocks
+                    abandoned = True
+            pending = (
+                np.concatenate(residual) if residual else np.empty(0, np.int64)
+            )
+            self.stats["probe_skipped"] = done_blocks
+
         for t_i, tier in enumerate(tiers):
             if len(pending) == 0:
                 break

@@ -987,6 +987,7 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
 def block_mapper_impl(
     index, needles, cnt, n_total, *, plans, infix_off, J, K, tier, errors,
     cap, rev_compl, with_states, exact_steps=64, n_static=None,
+    probe_only=False,
 ):
     """One batch of the block mapper (shared by the single-part, data-sharded
     and part-sharded paths; `n_total` may be a traced scalar under the
@@ -1000,6 +1001,21 @@ def block_mapper_impl(
         index, plans, infix_off, needles, Bl, tier, n_total, exact_steps,
         n_static if n_static is not None else n_total,
     )
+    if probe_only:
+        # unique-infix short-circuit probe: if a block's total infix
+        # survivor mass is 1, the only candidate occurrence of EVERY k-mer
+        # is its self-match (k-mer count is sandwiched: 1 <= count <= mass),
+        # so the whole extension phase is skipped and the engine writes
+        # frequency 1 directly.  Blocks whose window contains an N (such
+        # k-mers match nothing, not even themselves) or that overflow are
+        # not skippable.
+        s_flo, s_rlo, s_size, s_err, s_valid = survivors
+        mass = jnp.where(s_valid, s_size, _U32(0)).sum(axis=-1, dtype=_U32)
+        if index.has_n:
+            nwin = (needles == 4).any(axis=-1)
+        else:
+            nwin = jnp.zeros((Bl,), bool)
+        return dict(mass=mass, nwin=nwin, overflow=ovf1)
     states, ovf2 = _extend_to_kmers(index, survivors, needles, Bl, J, K, tier, errors)
     flo, rlo, size, err, valid = states
     ovf = ovf1 | ovf2
@@ -1051,6 +1067,7 @@ def make_block_mapper(
     rev_compl: bool,
     with_states: bool = False,
     mesh=None,
+    probe_only: bool = False,
 ):
     """Build the jitted batch mapper for one configuration.
 
@@ -1088,6 +1105,7 @@ def make_block_mapper(
             index, needles, cnt, n_total, plans=plans, infix_off=infix_off,
             J=J, K=K, tier=tier, errors=errors, cap=cap, rev_compl=rev_compl,
             with_states=with_states, exact_steps=ex_steps,
+            probe_only=probe_only,
         )
 
     if mesh is None:
