@@ -487,9 +487,17 @@ class MappabilityEngine:
             ext_cost = (J * levels * tier0.f_extend) // (2 if tier0.dimer else 1)
             probe_ok = ext_cost >= 0.5 * max(1, infix_cost)
         if probe_ok:
+            import time as _time
+
+            from genmap_tpu.parallel.dist import fetch
+
             cost = max(1, infix_cost)
             peak = max(1, int(pools0.max()))
-            Bp = max(8, min(B0, WORK // cost, SLOTS // peak))
+            # the probe's per-block cost is a fraction of the full pipeline's,
+            # so it can afford batches beyond the caller's block budget —
+            # fewer host->device round trips through the (possibly tunneled)
+            # device link
+            Bp = max(8, min(4 * B0, WORK // cost, SLOTS // peak))
             if self.mesh is not None:
                 nsh = self._mesh_data
                 Bp = max(nsh, -(-Bp // nsh) * nsh)
@@ -498,11 +506,45 @@ class MappabilityEngine:
                                    params.rev_compl)
                 for pi in range(len(self.indices))
             ]
-            import time as _time
 
             residual: list[np.ndarray] = []
             done_blocks = 0
             abandoned = False
+            inflight: list[tuple[np.ndarray, list]] = []
+            first_checked = False
+
+            def drain_probe(one):
+                nonlocal done_blocks, abandoned, first_checked
+                while inflight and (len(inflight) >= 8 or one):
+                    sel, outs = inflight.pop(0)
+                    t0 = _time.perf_counter()
+                    mass = np.zeros(Bp, np.uint64)
+                    ovf = np.zeros(Bp, bool)
+                    nwin = np.zeros(Bp, bool)
+                    for out in outs:
+                        mass += fetch(out["mass"]).astype(np.uint64)
+                        ovf |= fetch(out["overflow"])
+                        nwin |= fetch(out["nwin"])
+                    self.stats["fetch_s"] += _time.perf_counter() - t0
+                    nb = len(sel)
+                    skip = (mass[:nb] == 1) & ~ovf[:nb] & ~nwin[:nb]
+                    idx = np.nonzero(skip)[0]
+                    for bi in idx:
+                        s0 = int(starts[sel[bi]])
+                        c[s0 : s0 + int(cnts[sel[bi]])] = 1
+                    residual.append(sel[~skip])
+                    done_blocks += len(idx)
+                    if progress is not None:
+                        progress.add(len(idx))
+                    if not first_checked:
+                        first_checked = True
+                        if skip.mean() < 0.3:
+                            # repeat-heavy genome/config: probing would just
+                            # add a second infix pass for most blocks
+                            abandoned = True
+                    if one:
+                        break
+
             for s in range(0, len(pending), Bp):
                 sel = pending[s : s + Bp]
                 if abandoned:
@@ -512,30 +554,12 @@ class MappabilityEngine:
                 outs = self._run_batch(
                     pruns, layout, starts[sel], cnts[sel], Bp, K, J, params
                 )
-                from genmap_tpu.parallel.dist import fetch
-
-                mass = np.zeros(Bp, np.uint64)
-                ovf = np.zeros(Bp, bool)
-                nwin = np.zeros(Bp, bool)
-                for out in outs:
-                    mass += fetch(out["mass"]).astype(np.uint64)
-                    ovf |= fetch(out["overflow"])
-                    nwin |= fetch(out["nwin"])
                 self.stats["dispatch_s"] += _time.perf_counter() - t0
                 self.stats["batches"] += 1
-                nb = len(sel)
-                skip = (mass[:nb] == 1) & ~ovf[:nb] & ~nwin[:nb]
-                for bi in np.nonzero(skip)[0]:
-                    s0 = int(starts[sel[bi]])
-                    c[s0 : s0 + int(cnts[sel[bi]])] = 1
-                residual.append(sel[~skip])
-                done_blocks += int(skip.sum())
-                if progress is not None:
-                    progress.add(int(skip.sum()))
-                if s == 0 and skip.mean() < 0.3:
-                    # repeat-heavy genome/config: probing would just add a
-                    # second infix pass for most blocks
-                    abandoned = True
+                inflight.append((sel, outs))
+                drain_probe(False)
+            while inflight:
+                drain_probe(True)
             pending = (
                 np.concatenate(residual) if residual else np.empty(0, np.int64)
             )
