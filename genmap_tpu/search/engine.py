@@ -68,7 +68,10 @@ DEFAULT_TIERS = (
 )
 
 
-_POOL_LADDER = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+# pool sizes are not restricted to powers of two: the gather engine charges
+# per ROW, so a [B, 3] frontier really is 25% cheaper than [B, 4]
+_POOL_LADDER = (2, 3, 4, 6, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+                8192, 16384)
 
 
 def _quant4(v: float, cap: int = 16384) -> int:
@@ -78,7 +81,8 @@ def _quant4(v: float, cap: int = 16384) -> int:
     return cap
 
 
-def infix_pool_schedule(plans, infix_off, n_total, scale: float = 1.0):
+def infix_pool_schedule(plans, infix_off, n_total, scale: float = 1.0,
+                        probe: bool = False):
     """Static per-step infix pool sizes.
 
     The lockstep frontier's live-state count is predictable: branch states
@@ -98,19 +102,33 @@ def infix_pool_schedule(plans, infix_off, n_total, scale: float = 1.0):
     T, P = u_s.shape
     h = np.zeros(P, np.int64)
     pools = np.zeros(T, np.int64)
-    floor = _quant4(P + 1)
     for t in range(T):
         q = min(1.0, 2.0 * float(n_total) / 4.0 ** (t + 1))
         branch = 0.0
+        alive = 0  # plans whose 0-error primary state is still admissible
         for p in range(P):
+            if lreq_s[t, p] == 0:
+                alive += 1
             if u_s[t, p] > 0:
                 h[p] += 1
             b = sum(
                 math.comb(int(h[p]), j) * 3**j for j in range(int(u_s[t, p]) + 1)
             )
             branch += (b - 1) * q  # branches decay with presence; the
-            # on-genome state of each plan always survives (the +P below)
-        pools[t] = max(floor, _quant4((P + 1 + 2.0 * branch) * scale))
+            # on-genome state of each alive plan always survives
+        # the floor tracks primary deaths: once a plan's l-bound exceeds 0
+        # its 0-error state is pruned, and on unique text the pool holds
+        # only the remaining primaries.  The +1 headroom (for genuine
+        # mismatch-neighbor survivors) is only paid while transient branch
+        # states are non-negligible — a spuriously overflowing block just
+        # re-runs (or, in the probe, goes to the full path it needed anyway).
+        # probe pools carry no neighbor headroom at all: a genuine branch
+        # survivor implies infix mass >= 2, so the block goes to the full
+        # pipeline whether or not the probe pool overflowed
+        head = 0 if probe else (1 if branch * scale > 0.125 else 0)
+        pools[t] = _quant4(
+            max(alive + head, (alive + head + 2.0 * branch) * scale)
+        )
     return pools
 
 
@@ -421,7 +439,7 @@ def extension_extra_estimate(plans, infix_off, n_total) -> float:
 
 
 def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
-                  exact_steps, n_static):
+                  exact_steps, n_static, probe=False):
     """All search schemes over one flat per-block state POOL.
 
     Every state carries its plan id; per-step plan attributes (needle
@@ -441,7 +459,8 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
     pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
     T = len(pos_s)
     S = T if tier.exact else min(T, exact_steps)
-    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0)
+    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0,
+                                probe=probe)
 
     # seeded prefix: every OSS plan starts with an exact (u==0) block, so
     # the first t_seed steps descend a single deterministic path per plan —
@@ -566,7 +585,7 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
 
 
 def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
-                        n_total, exact_steps, n_static):
+                        n_total, exact_steps, n_static, probe=False):
     """Pooled infix search on the dimer table: ~half the gathers of the mono
     path.  Structure mirrors _search_infix (seeded prefix, per-step pool
     schedule, plan-id-carrying pooled states); steps consume 1 or 2 chars per
@@ -575,7 +594,8 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
     P = len(plans)
     pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
     T = len(pos_s)
-    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0)
+    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0,
+                                probe=probe)
 
     from genmap_tpu.ops.rank import SEED_T0, seed_level_offset
 
@@ -999,7 +1019,7 @@ def block_mapper_impl(
     infix_fn = _search_infix_dimer if tier.dimer else _search_infix
     survivors, ovf1 = infix_fn(
         index, plans, infix_off, needles, Bl, tier, n_total, exact_steps,
-        n_static if n_static is not None else n_total,
+        n_static if n_static is not None else n_total, probe=probe_only,
     )
     if probe_only:
         # unique-infix short-circuit probe: if a block's total infix

@@ -42,13 +42,13 @@ def test_pool_schedule_shapes():
     K, E = 100, 2
     o = K - default_overlap(K, E)
     pools_big = infix_pool_schedule(plans_for(E, o), K - o, 16_000_000, 1.0)
-    assert pools_big.max() <= 8 and pools_big.min() >= 4
+    assert pools_big.max() <= 16 and pools_big.min() >= 2
 
     K, E = 20, 1
     o = K - min(default_overlap(K, E), K - 1, K - E - 2)
     pools_small = infix_pool_schedule(plans_for(E, o), K - o, 16_000_000, 1.0)
     assert pools_small.max() >= 16  # branch window needs real capacity
-    assert pools_small[0] == 4  # exact region stays minimal
+    assert pools_small[0] <= 4  # exact region stays minimal
 
     # escalation scale widens every step
     pools_s8 = infix_pool_schedule(plans_for(E, o), K - o, 16_000_000, 8.0)
