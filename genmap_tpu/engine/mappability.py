@@ -480,7 +480,7 @@ class MappabilityEngine:
 
             tier0 = tiers[0]
             pools0 = infix_pool_schedule(
-                plans, K - o, n_max, tier0.f_search / 4.0, probe=True
+                plans, K - o, n_max, tier0.f_search / 4.0
             )
             infix_cost = int(pools0.sum()) // (2 if tier0.dimer else 1)
             levels = max(1, math.ceil(math.log2(max(2, J))))

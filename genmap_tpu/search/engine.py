@@ -81,8 +81,7 @@ def _quant4(v: float, cap: int = 16384) -> int:
     return cap
 
 
-def infix_pool_schedule(plans, infix_off, n_total, scale: float = 1.0,
-                        probe: bool = False):
+def infix_pool_schedule(plans, infix_off, n_total, scale: float = 1.0):
     """Static per-step infix pool sizes.
 
     The lockstep frontier's live-state count is predictable: branch states
@@ -118,14 +117,11 @@ def infix_pool_schedule(plans, infix_off, n_total, scale: float = 1.0,
             # on-genome state of each alive plan always survives
         # the floor tracks primary deaths: once a plan's l-bound exceeds 0
         # its 0-error state is pruned, and on unique text the pool holds
-        # only the remaining primaries.  The +1 headroom (for genuine
-        # mismatch-neighbor survivors) is only paid while transient branch
-        # states are non-negligible — a spuriously overflowing block just
-        # re-runs (or, in the probe, goes to the full path it needed anyway).
-        # probe pools carry no neighbor headroom at all: a genuine branch
-        # survivor implies infix mass >= 2, so the block goes to the full
-        # pipeline whether or not the probe pool overflowed
-        head = 0 if probe else (1 if branch * scale > 0.125 else 0)
+        # only the remaining primaries.  The +1 neighbor headroom is only
+        # paid while transient branch states are non-negligible — dropping
+        # it entirely was measured to overflow ~5% of blocks on TRANSIENT
+        # candidates that later die, each costing a full-pipeline rerun.
+        head = 1 if branch * scale > 0.125 else 0
         pools[t] = _quant4(
             max(alive + head, (alive + head + 2.0 * branch) * scale)
         )
@@ -439,7 +435,7 @@ def extension_extra_estimate(plans, infix_off, n_total) -> float:
 
 
 def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
-                  exact_steps, n_static, probe=False):
+                  exact_steps, n_static, probe=False):  # probe: reserved
     """All search schemes over one flat per-block state POOL.
 
     Every state carries its plan id; per-step plan attributes (needle
@@ -459,8 +455,7 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
     pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
     T = len(pos_s)
     S = T if tier.exact else min(T, exact_steps)
-    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0,
-                                probe=probe)
+    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0)
 
     # seeded prefix: every OSS plan starts with an exact (u==0) block, so
     # the first t_seed steps descend a single deterministic path per plan —
@@ -594,8 +589,7 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
     P = len(plans)
     pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
     T = len(pos_s)
-    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0,
-                                probe=probe)
+    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0)
 
     from genmap_tpu.ops.rank import SEED_T0, seed_level_offset
 
