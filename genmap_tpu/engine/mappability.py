@@ -212,8 +212,10 @@ class MappabilityEngine:
 
     # ------------------------------------------------------------------
 
-    def _runner(self, pi, K, errors, o, J, B, tier, cap, rev_compl, with_states):
-        key = (pi, K, errors, o, J, B, tier, cap, rev_compl, with_states)
+    def _runner(self, pi, K, errors, o, J, B, tier, cap, rev_compl, with_states,
+                with_exact=False):
+        key = (pi, K, errors, o, J, B, tier, cap, rev_compl, with_states,
+               with_exact)
         if key not in self._runners:
             self._runners[key] = make_block_mapper(
                 self.indices[pi],
@@ -227,12 +229,14 @@ class MappabilityEngine:
                 cap=cap,
                 rev_compl=rev_compl,
                 with_states=with_states,
+                with_exact=with_exact,
                 mesh=self.mesh,
             )
         return self._runners[key]
 
-    def _probe_runner(self, pi, K, errors, o, J, B, tier, cap, rev_compl):
-        key = ("probe", pi, K, errors, o, J, B, tier, rev_compl)
+    def _probe_runner(self, pi, K, errors, o, J, B, tier, cap, rev_compl,
+                      mode=True):
+        key = ("probe", pi, K, errors, o, J, B, tier, rev_compl, mode)
         if key not in self._runners:
             self._runners[key] = make_block_mapper(
                 self.indices[pi],
@@ -246,11 +250,12 @@ class MappabilityEngine:
                 cap=cap,
                 rev_compl=rev_compl,
                 mesh=self.mesh,
-                probe_only=True,
+                probe_only=mode,
             )
         return self._runners[key]
 
-    def _runners_for(self, K, errors, o, J, B, tier, cap, rev_compl, with_states):
+    def _runners_for(self, K, errors, o, J, B, tier, cap, rev_compl, with_states,
+                     with_exact=False):
         if self.part_sharded:
             assert not with_states, (
                 "CSV/exclude-pseudo is not supported on a part-sharded mesh"
@@ -266,7 +271,8 @@ class MappabilityEngine:
                 )
             return [self._runners[key]]
         return [
-            self._runner(pi, K, errors, o, J, B, tier, cap, rev_compl, with_states)
+            self._runner(pi, K, errors, o, J, B, tier, cap, rev_compl,
+                         with_states, with_exact)
             for pi in range(len(self.indices))
         ]
 
@@ -497,13 +503,20 @@ class MappabilityEngine:
             # so it can afford batches beyond the caller's block budget —
             # fewer host->device round trips through the (possibly tunneled)
             # device link
-            Bp = max(8, min(8 * B0, WORK // cost, SLOTS // peak))
+            Bp = max(32, min(8 * B0, WORK // cost, SLOTS // peak))
+            Bp = -(-Bp // 32) * 32  # skip-bitmap packing granularity
             if self.mesh is not None:
                 nsh = self._mesh_data
-                Bp = max(nsh, -(-Bp // nsh) * nsh)
+                Bp = max(nsh, -(-Bp // (32 * nsh)) * 32 * nsh)
+            # single-part probes decide ON DEVICE and ship a packed bitmap
+            # (the tunneled device link is bandwidth-starved; per-block
+            # uint32 masses dominated the probe wall time); multi-part
+            # probes need the raw masses host-side to sum across parts
+            bits_mode = len(self.indices) == 1
+            pmode = "bits" if bits_mode else True
             pruns = [
                 self._probe_runner(pi, K, errors, o, J, Bp, tier0, cap,
-                                   params.rev_compl)
+                                   params.rev_compl, mode=pmode)
                 for pi in range(len(self.indices))
             ]
 
@@ -518,16 +531,24 @@ class MappabilityEngine:
                 while inflight and (len(inflight) >= 8 or one):
                     sel, outs = inflight.pop(0)
                     t0 = _time.perf_counter()
-                    mass = np.zeros(Bp, np.uint64)
-                    ovf = np.zeros(Bp, bool)
-                    nwin = np.zeros(Bp, bool)
-                    for out in outs:
-                        mass += fetch(out["mass"]).astype(np.uint64)
-                        ovf |= fetch(out["overflow"])
-                        nwin |= fetch(out["nwin"])
+                    if bits_mode:
+                        bits = fetch(outs[0]["skip_bits"])
+                        skip_all = (
+                            (bits[:, None] >> np.arange(32, dtype=np.uint32))
+                            & 1
+                        ).astype(bool).ravel()
+                    else:
+                        mass = np.zeros(Bp, np.uint64)
+                        ovf = np.zeros(Bp, bool)
+                        nwin = np.zeros(Bp, bool)
+                        for out in outs:
+                            mass += fetch(out["mass"]).astype(np.uint64)
+                            ovf |= fetch(out["overflow"])
+                            nwin |= fetch(out["nwin"])
+                        skip_all = (mass == 1) & ~ovf & ~nwin
                     self.stats["fetch_s"] += _time.perf_counter() - t0
                     nb = len(sel)
-                    skip = (mass[:nb] == 1) & ~ovf[:nb] & ~nwin[:nb]
+                    skip = skip_all[:nb]
                     idx = np.nonzero(skip)[0]
                     # vectorized frequency-1 writes (a python loop here cost
                     # ~0.5 s per 8 Mbp at 100% skip)
@@ -577,11 +598,17 @@ class MappabilityEngine:
                 break
             cost, peak = block_cost(tier)
             B = max(8, min(B0, WORK // max(1, cost), SLOTS // max(1, peak)))
+            # shrink (power-of-two quantized, bounded program count) when few
+            # blocks remain: result fetches of a mostly-padding batch waste
+            # the bandwidth-starved device link
+            if len(pending) < B:
+                B = max(256, 1 << int(np.ceil(np.log2(max(2, len(pending))))))
             if self.mesh is not None:
                 n = self._mesh_data
                 B = max(n, -(-B // n) * n)
             runs = self._runners_for(
-                K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed
+                K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed,
+                with_exact=collect_exact is not None,
             )
             still: list[np.ndarray] = []
             inflight: list[tuple[np.ndarray, list]] = []

@@ -125,10 +125,14 @@ def make_part_mapper(
             index, needles, cnt, n_tot[0], plans=plans, infix_off=infix_off,
             J=J, K=K, tier=tier, errors=errors, cap=cap, rev_compl=rev_compl,
             with_states=False, exact_steps=ex_steps, n_static=stacked["n_max"],
+            with_exact=True,
         )
         # exact cross-part merge over ICI: counts add (parts partition the
-        # sequence set; matches never cross sentinels)
-        hits = jnp.minimum(jax.lax.psum(out["hits"], "part"), _U32(cap))
+        # sequence set; matches never cross sentinels).  hits are uint16 on
+        # the wire; widen before the sum so per-part caps cannot wrap.
+        hits = jnp.minimum(
+            jax.lax.psum(out["hits"].astype(_U32), "part"), _U32(cap)
+        )
         return dict(
             hits=hits,
             exact_size=jax.lax.psum(out["exact_size"], "part"),

@@ -1001,7 +1001,7 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
 def block_mapper_impl(
     index, needles, cnt, n_total, *, plans, infix_off, J, K, tier, errors,
     cap, rev_compl, with_states, exact_steps=64, n_static=None,
-    probe_only=False,
+    probe_only=False, with_exact=False,
 ):
     """One batch of the block mapper (shared by the single-part, data-sharded
     and part-sharded paths; `n_total` may be a traced scalar under the
@@ -1029,6 +1029,15 @@ def block_mapper_impl(
             nwin = (needles == 4).any(axis=-1)
         else:
             nwin = jnp.zeros((Bl,), bool)
+        if probe_only == "bits":
+            # single-part fast path: decide on device and ship one PACKED
+            # bitmap — the tunneled device link is bandwidth-starved
+            # (~4 MB/s measured), so per-block uint32 outputs dominated the
+            # probe wall time
+            skip = (mass == _U32(1)) & ~ovf1 & ~nwin
+            sb = skip.reshape(-1, 32).astype(_U32)
+            bits = (sb << jnp.arange(32, dtype=_U32)).sum(axis=-1, dtype=_U32)
+            return dict(skip_bits=bits)
         return dict(mass=mass, nwin=nwin, overflow=ovf1)
     states, ovf2 = _extend_to_kmers(index, survivors, needles, Bl, J, K, tier, errors)
     flo, rlo, size, err, valid = states
@@ -1037,7 +1046,7 @@ def block_mapper_impl(
     # the index covers both strands; size counts fwd + rc occurrences.
     # forward-only sizes (for -nc and for exact-duplicate detection) come
     # from the strand rank rows.
-    need_fwd = (not rev_compl) or with_states
+    need_fwd = (not rev_compl) or with_states or with_exact
     if need_fwd:
         rc_in = rc_strand_count(index, flo + size) - rc_strand_count(index, flo)
         fwd_size = size - rc_in
@@ -1045,23 +1054,25 @@ def block_mapper_impl(
     contrib = jnp.where(valid, jnp.minimum(counting, _U32(cap)), _U32(0))
     hits = jnp.minimum(contrib.sum(axis=-1, dtype=_U32), _U32(cap))
 
-    exact_mask = valid & (err == 0)
-    exact_total = jnp.where(exact_mask, size, 0).sum(axis=-1, dtype=_U32)
-    exact_flo = jnp.where(exact_mask, flo, 0).sum(axis=-1, dtype=_U32)
-    exact_fwd = (
-        jnp.where(exact_mask, fwd_size, 0).sum(axis=-1, dtype=_U32)
-        if need_fwd
-        else exact_total
-    )
-
     valid_j = jnp.arange(J, dtype=_I32)[None, :] < cnt[:, None]
+    # uint16 suffices (cap <= 65535 always) and the device link is the
+    # bottleneck for result fetches
     out = dict(
-        hits=jnp.where(valid_j, hits, 0),
-        exact_size=jnp.where(valid_j, exact_fwd, 0),
-        exact_size_total=jnp.where(valid_j, exact_total, 0),
-        exact_flo=exact_flo,
+        hits=jnp.where(valid_j, hits, 0).astype(jnp.uint16),
         overflow=ovf,
     )
+    if with_exact or with_states:
+        exact_mask = valid & (err == 0)
+        exact_total = jnp.where(exact_mask, size, 0).sum(axis=-1, dtype=_U32)
+        exact_flo = jnp.where(exact_mask, flo, 0).sum(axis=-1, dtype=_U32)
+        exact_fwd = (
+            jnp.where(exact_mask, fwd_size, 0).sum(axis=-1, dtype=_U32)
+            if need_fwd
+            else exact_total
+        )
+        out["exact_size"] = jnp.where(valid_j, exact_fwd, 0)
+        out["exact_size_total"] = jnp.where(valid_j, exact_total, 0)
+        out["exact_flo"] = exact_flo
     if with_states:
         out["states"] = (flo, size, err, valid)
     return out
@@ -1081,7 +1092,8 @@ def make_block_mapper(
     rev_compl: bool,
     with_states: bool = False,
     mesh=None,
-    probe_only: bool = False,
+    probe_only=False,
+    with_exact: bool = False,
 ):
     """Build the jitted batch mapper for one configuration.
 
@@ -1119,7 +1131,7 @@ def make_block_mapper(
             index, needles, cnt, n_total, plans=plans, infix_off=infix_off,
             J=J, K=K, tier=tier, errors=errors, cap=cap, rev_compl=rev_compl,
             with_states=with_states, exact_steps=ex_steps,
-            probe_only=probe_only,
+            probe_only=probe_only, with_exact=with_exact,
         )
 
     if mesh is None:
