@@ -42,9 +42,13 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     hits = np.asarray(out[0])
+    ovf = np.asarray(out[1])
     assert hits.shape[1] > 0
-    # needles come from the indexed text: every k-mer matches at least itself
-    assert (hits >= 1).all()
+    # needles come from the indexed text: every k-mer matches at least
+    # itself; blocks flagged for tier escalation report no hits here (the
+    # engine re-runs them on the next tier)
+    assert ((hits >= 1) | ovf[:, None]).all()
+    assert (hits >= 1).any()
 
 
 def test_graft_dryrun():
