@@ -180,6 +180,7 @@ class MappabilityEngine:
             for ix in (self.indices or [])
         ]
         self._locate_chunk = 1 << 14
+        self._dup_rate_cache: dict = {}
         # observability: per-compute overflow/tier statistics + phase timers
         # (dispatch includes jit trace/compile of the first batch per tier;
         # fetch is the blocking device->host wait, so it absorbs device time
@@ -698,7 +699,7 @@ class MappabilityEngine:
             # all k-mers costs seconds at genome scale, pure waste on
             # low-duplication text (the keep-fraction check below would bail
             # anyway; at sampled dup rate < 0.15 it nearly always does)
-            if nkmers > (1 << 21) and self._sampled_dup_rate(text, K, nkmers) < 0.15:
+            if nkmers > (1 << 21) and self._dup_rate(layout, text, K, nkmers) < 0.15:
                 return False
             keys = np.zeros(nkmers, dtype=np.uint64)
             for i in range(K):
@@ -711,7 +712,7 @@ class MappabilityEngine:
                 return False  # the e=0 pre-pass would equal the main pass
             if self.part_sharded:
                 return False  # pass-A keys need per-part interval outputs
-            if self._sampled_dup_rate(text, K, nkmers) < 0.3:
+            if self._dup_rate(layout, text, K, nkmers) < 0.3:
                 return False
             P = len(self.indices)
             E_flo = [np.zeros(nkmers, np.uint32) for _ in range(P)]
@@ -754,6 +755,12 @@ class MappabilityEngine:
         # copy class results to every duplicate position
         c[:nkmers] = c[first_occ[inverse]]
         return True
+
+    def _dup_rate(self, layout, text, K, nkmers) -> float:
+        key = (layout.start, layout.length, K)
+        if key not in self._dup_rate_cache:
+            self._dup_rate_cache[key] = self._sampled_dup_rate(text, K, nkmers)
+        return self._dup_rate_cache[key]
 
     @staticmethod
     def _sampled_dup_rate(text, K, nkmers, sample=1 << 19) -> float:

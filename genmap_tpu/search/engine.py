@@ -104,26 +104,22 @@ def infix_pool_schedule(plans, infix_off, n_total, scale: float = 1.0):
     for t in range(T):
         q = min(1.0, 2.0 * float(n_total) / 4.0 ** (t + 1))
         branch = 0.0
-        alive = 0  # plans whose 0-error primary state is still admissible
         for p in range(P):
-            if lreq_s[t, p] == 0:
-                alive += 1
             if u_s[t, p] > 0:
                 h[p] += 1
             b = sum(
                 math.comb(int(h[p]), j) * 3**j for j in range(int(u_s[t, p]) + 1)
             )
             branch += (b - 1) * q  # branches decay with presence; the
-            # on-genome state of each alive plan always survives
-        # the floor tracks primary deaths: once a plan's l-bound exceeds 0
-        # its 0-error state is pruned, and on unique text the pool holds
-        # only the remaining primaries.  The +1 neighbor headroom is only
-        # paid while transient branch states are non-negligible — dropping
-        # it entirely was measured to overflow ~5% of blocks on TRANSIENT
-        # candidates that later die, each costing a full-pipeline rerun.
-        head = 1 if branch * scale > 0.125 else 0
-        pools[t] = _quant4(
-            max(alive + head, (alive + head + 2.0 * branch) * scale)
+            # on-genome state of each plan always survives (the +P below)
+        # NOTE: a floor tracking 0-error-primary deaths (pool = alive
+        # primaries only) was tried and reverted: the branch term
+        # underestimates PERSISTENT on-genome mismatch survivors at high e,
+        # and the missing +P+1 headroom exploded tier escalations 10-40x on
+        # (20,1)/(30,2)/(101,4).  The finer ladder (2/3/6) still tightens
+        # e=0 and window-decay steps safely.
+        pools[t] = max(
+            _quant4(P + 1), _quant4((P + 1 + 2.0 * branch) * scale)
         )
     return pools
 
