@@ -116,11 +116,12 @@ def infix_pool_schedule(plans, infix_off, n_total, scale: float = 1.0):
         # primaries only) was tried and reverted: the branch term
         # underestimates PERSISTENT on-genome mismatch survivors at high e,
         # and the missing +P+1 headroom exploded tier escalations 10-40x on
-        # (20,1)/(30,2)/(101,4).  The finer ladder (2/3/6) still tightens
-        # e=0 and window-decay steps safely.
-        pools[t] = max(
-            _quant4(P + 1), _quant4((P + 1 + 2.0 * branch) * scale)
-        )
+        # (20,1)/(30,2)/(101,4).  A floor of 3 for P=2 likewise overflowed
+        # ~11% of (20,1) blocks — short infixes keep genuine neighbors
+        # around.  e>0 keeps the historical minimum of 4; only exact search
+        # (P=1, no neighbors possible) drops to pool 2.
+        floor = _quant4(P + 1) if P == 1 else max(4, _quant4(P + 1))
+        pools[t] = max(floor, _quant4((P + 1 + 2.0 * branch) * scale))
     return pools
 
 
