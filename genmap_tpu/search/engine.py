@@ -69,13 +69,18 @@ DEFAULT_TIERS = (
 
 
 # pool sizes are not restricted to powers of two: the gather engine charges
-# per ROW, so a [B, 3] frontier really is 25% cheaper than [B, 4]
+# per ROW, so a [B, 3] frontier really is 25% cheaper than [B, 4].  The fine
+# rungs (2/3/6) are only safe where the survivor count has low variance
+# (branch estimate ~0); branchy steps keep power-of-two headroom — rung 6
+# where 8 was due overflowed ~11% of (20,1) blocks.
 _POOL_LADDER = (2, 3, 4, 6, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
                 8192, 16384)
+_POOL_LADDER_COARSE = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+                       8192, 16384)
 
 
-def _quant4(v: float, cap: int = 16384) -> int:
-    for q in _POOL_LADDER:
+def _quant4(v: float, cap: int = 16384, ladder=_POOL_LADDER) -> int:
+    for q in ladder:
         if q >= v or q >= cap:
             return min(q, cap)
     return cap
@@ -121,7 +126,10 @@ def infix_pool_schedule(plans, infix_off, n_total, scale: float = 1.0):
         # around.  e>0 keeps the historical minimum of 4; only exact search
         # (P=1, no neighbors possible) drops to pool 2.
         floor = _quant4(P + 1) if P == 1 else max(4, _quant4(P + 1))
-        pools[t] = max(floor, _quant4((P + 1 + 2.0 * branch) * scale))
+        ladder = _POOL_LADDER if branch <= 0.2 else _POOL_LADDER_COARSE
+        pools[t] = max(
+            floor, _quant4((P + 1 + 2.0 * branch) * scale, ladder=ladder)
+        )
     return pools
 
 
