@@ -28,6 +28,12 @@ def index_main(argv: list[str]) -> int:
     p.add_argument("-xa", "--seqno", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("-xb", "--seqpos", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("-xc", "--bwtlen", type=int, default=None, help=argparse.SUPPRESS)
+    # expert: cap part sizes so the dimer fast path survives >2^31-symbol
+    # genomes (more parts = more per-batch work; see index/build.py)
+    p.add_argument("-xd", "--dimer-parts", action="store_true",
+                   help=argparse.SUPPRESS)
+    p.add_argument("-T", "--threads", type=int, default=1,
+                   help="parallel part-construction workers")
     args = p.parse_args(argv)
 
     if not (1 <= args.sampling <= 64):
@@ -89,7 +95,9 @@ def index_main(argv: list[str]) -> int:
         return 1
 
     data = build_index(fasta_files, sampling=args.sampling,
-                       directory=bool(args.fasta_directory))
+                       directory=bool(args.fasta_directory),
+                       dimer_parts=args.dimer_parts,
+                       workers=max(1, args.threads))
     if args.verbose:
         print(f"Index will be constructed using "
               f"{'dna5/rna5' if data.has_n else 'dna4/rna4'} alphabet.")

@@ -255,12 +255,48 @@ class MappabilityEngine:
             )
         return self._runners[key]
 
+    def _ensure_replicated_parts(self):
+        """CSV/exclude-pseudo on a part x data mesh: the psum part-merge path
+        has no host-side per-part SA row spaces, so those runs fall back to
+        per-part replicated execution over the full mesh (the reference
+        supports CSV in every mode, algo.hpp:311-386).  Costs part-count x
+        more device work and holds every part's tables on every device —
+        warned once because the memory bill can be large at hg38 scale."""
+        if self.indices is not None:
+            return
+        import sys
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        print(
+            "WARNING: csv/exclude-pseudo on a part-sharded mesh falls back "
+            "to replicated per-part execution (every part's tables on every "
+            "device; part-count x the device work).",
+            file=sys.stderr,
+        )
+        rep = NamedSharding(self.mesh, P())
+        self.indices = [
+            jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, rep),
+                DeviceIndex.from_part(self.data, p, light=self.light),
+            )
+            for p in self.data.parts
+        ]
+        self._locate_fns = [
+            jax.jit(lambda pos, valid, ix=ix: locate(ix, pos, valid))
+            for ix in self.indices
+        ]
+
     def _runners_for(self, K, errors, o, J, B, tier, cap, rev_compl, with_states,
                      with_exact=False):
         if self.part_sharded:
-            assert not with_states, (
-                "CSV/exclude-pseudo is not supported on a part-sharded mesh"
-            )
+            if with_states or with_exact:
+                self._ensure_replicated_parts()
+                return [
+                    self._runner(pi, K, errors, o, J, B, tier, cap, rev_compl,
+                                 with_states, with_exact)
+                    for pi in range(len(self.indices))
+                ]
             key = ("psh", K, errors, o, J, B, tier, cap, rev_compl)
             if key not in self._runners:
                 from genmap_tpu.parallel.partmesh import make_part_mapper
@@ -394,6 +430,10 @@ class MappabilityEngine:
         length nkmers that receive each position's zero-error SA interval
         (used as the duplicate-class key by the dedup pass).
         """
+        # per-run stats start fresh (cumulative timers stay cumulative): a
+        # later compute that skips the probe must not report stale values
+        self.stats["probe_skipped"] = 0
+        self.stats["dimer_tier"] = False
         pending = np.arange(len(starts))
         # size batches by k-mer count, not block count, so small stepSizes
         # still fill the device (and fewer host<->device round trips)
@@ -601,9 +641,13 @@ class MappabilityEngine:
             B = max(8, min(B0, WORK // max(1, cost), SLOTS // max(1, peak)))
             # shrink (power-of-two quantized, bounded program count) when few
             # blocks remain: result fetches of a mostly-padding batch waste
-            # the bandwidth-starved device link
+            # the bandwidth-starved device link.  Never grow past the budgeted
+            # B: at high tiers the memory-bounded B can be far below 256 and
+            # raising it would blow the SLOTS budget (device OOM).
             if len(pending) < B:
-                B = max(256, 1 << int(np.ceil(np.log2(max(2, len(pending))))))
+                B = min(
+                    B, max(256, 1 << int(np.ceil(np.log2(max(2, len(pending))))))
+                )
             if self.mesh is not None:
                 n = self._mesh_data
                 B = max(n, -(-B // n) * n)

@@ -333,6 +333,8 @@ def build_index(
     max_part_symbols: int = MAX_PART_SYMBOLS,
     workers: int = 1,
     spill_dir: str | None = None,
+    dimer: bool = True,
+    dimer_parts: bool = False,
 ) -> FMIndexData:
     """Build an FMD-index (one or more parts) over all sequences of all files.
 
@@ -361,7 +363,32 @@ def build_index(
     has_n = any(bool((s == 4).any()) for s in seqs)
     alphabet_size = 5 if has_n else 4
 
-    groups = _partition(seq_lens, max_part_symbols)
+    # dimer rank rows need each part's both-strand symbol count < 2^31 (the
+    # sub-block flag steals a count bit, fmindex.py).  Default partitioning
+    # aims for the fewest parts (every part is searched per batch, so part
+    # count scales query cost); `dimer_parts=True` instead caps parts at
+    # DIMER_PART_LIMIT so the dimer fast path stays available at
+    # human-genome scale.
+    from genmap_tpu.index.fmindex import DIMER_PART_LIMIT
+
+    part_limit = max_part_symbols
+    if dimer and dimer_parts:
+        part_limit = min(part_limit, DIMER_PART_LIMIT)
+    groups = _partition(seq_lens, part_limit)
+    if dimer and not dimer_parts:
+        import sys
+
+        for s, e in groups:
+            n_part = 2 * int((seq_lens[s:e] + 1).sum())
+            if n_part >= 2**31:
+                print(
+                    f"WARNING: index part of {n_part} both-strand symbols "
+                    "exceeds the dimer rank-row limit (2^31); the dimer "
+                    "(2-chars-per-gather) fast path is DISABLED for this "
+                    "part. Build with dimer_parts=True (CLI: index -xd) to "
+                    "cap part sizes and keep it.",
+                    file=sys.stderr,
+                )
     if workers > 1 and len(groups) > 1:
         # parts are fully independent: build them in parallel processes (the
         # SACA is latency-bound on this host, so extra processes scale well)
@@ -370,7 +397,7 @@ def build_index(
 
         base = spill_dir or tempfile.mkdtemp(prefix="genmap_parts_")
         jobs = [
-            (seqs[s:e], sampling, has_n, s, os.path.join(base, f"part{i}"))
+            (seqs[s:e], sampling, has_n, s, dimer, os.path.join(base, f"part{i}"))
             for i, (s, e) in enumerate(groups)
         ]
         ctx = mp.get_context("spawn")
@@ -379,7 +406,8 @@ def build_index(
         parts = [_load_part_dir(d, has_n) for d in dirs]
     else:
         parts = [
-            _build_part(seqs[s:e], sampling, has_n, seq_off=s) for s, e in groups
+            _build_part(seqs[s:e], sampling, has_n, seq_off=s, dimer=dimer)
+            for s, e in groups
         ]
 
     text_words, text_nwords, text_len = _pack_text(seqs, has_n)

@@ -120,7 +120,10 @@ _CHUNK = 64 * 1024 * 1024
 #   w[60:64]  cumulative mono le counts (#rows < start with BWT real and
 #             <= y), y = 0..3; bit 31 of w[60] = sub-block flag
 # The flag bit steals bit 31 of a count, so dimer rows require the part's
-# n_total < 2^31 (build_index partitions accordingly when dimer=True).
+# n_total < 2^31.  build_index keeps its default fewest-parts partitioning
+# (part count scales per-batch query cost) and skips dimer rows for parts
+# over the limit with a loud warning; build_index(dimer_parts=True) caps
+# parts at DIMER_PART_LIMIT instead so the dimer path stays available.
 # ---------------------------------------------------------------------------
 
 DBLOCK = 128  # symbols per dimer sub-block

@@ -991,8 +991,11 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
         if tier.dimer:
             sched = _balanced_schedule_fused(n_right, n_left, pos_right, pos_left)
             if sched.shape[1]:
+                # honor tier.exact: a forced exact dimer tier must use the
+                # two-gather dimer path so wide intervals compute instead of
+                # far-flagging with no tier left to escalate to
                 state = _ext_phase_fused(index, state, needles, sched, Fe,
-                                         errors, exact=False)
+                                         errors, exact=tier.exact)
         else:
             pos, right, act = _balanced_schedule(n_right, n_left, pos_right, pos_left)
             if len(pos):
@@ -1119,6 +1122,10 @@ def make_block_mapper(
     """
     o = overlap
     assert o == K - J + 1
+    if not 0 < cap <= 65535:
+        raise ValueError(
+            f"cap must be in [1, 65535] (uint16 result path), got {cap}"
+        )
     plans = plans_for(errors, o)
     infix_off = K - o
     n_total = index.n_total

@@ -20,3 +20,14 @@ _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    # every test not explicitly marked slow belongs to the quick tier, so
+    # `pytest -m quick` is the fast correctness gate (< 5 min) and plain
+    # `pytest` remains the full suite
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
