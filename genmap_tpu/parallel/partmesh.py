@@ -138,6 +138,9 @@ def make_part_mapper(
             exact_size=jax.lax.psum(out["exact_size"], "part"),
             exact_size_total=jax.lax.psum(out["exact_size_total"], "part"),
             overflow=jax.lax.psum(out["overflow"].astype(jnp.int32), "part") > 0,
+            overflow_cap=jax.lax.psum(
+                out["overflow_cap"].astype(jnp.int32), "part"
+            ) > 0,
         )
 
     sm = jax.shard_map(

@@ -440,7 +440,8 @@ def extension_extra_estimate(plans, infix_off, n_total) -> float:
 
 
 def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
-                  exact_steps, n_static, probe=False):  # probe: reserved
+                  exact_steps, n_static, probe=False, pools=None,
+                  with_occ=False):  # probe: reserved
     """All search schemes over one flat per-block state POOL.
 
     Every state carries its plan id; per-step plan attributes (needle
@@ -455,12 +456,27 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
     On a fast (non-exact) tier the first `exact_steps` steps — where every
     state's interval is still wide — run on the exact two-gather rank path;
     the remaining steps use the one-gather fast path, flagging still-wide
-    states for escalation."""
+    states for escalation.
+
+    `pools` overrides the static per-step pool schedule (the engine passes
+    occupancy-CALIBRATED pools measured on a first batch — the static
+    estimate over-provisions 3-5x on branch-heavy configs, see
+    benchmarks/occupancy_probe.py).  `with_occ` additionally returns the
+    per-step count of valid candidate states per block ([T, B] uint16,
+    counted BEFORE capacity clamping — the calibration signal).
+
+    Returns (survivors, ovf_cap, ovf_far[, occ]): capacity overflow and
+    fast-path far-flags are reported separately so the engine can escalate
+    far-only blocks to the same-size exact tier and capacity overflows
+    straight to a wider tier."""
     P = len(plans)
     pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
     T = len(pos_s)
     S = T if tier.exact else min(T, exact_steps)
-    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0)
+    if pools is None:
+        pools = infix_pool_schedule(plans, infix_off, n_static,
+                                    tier.f_search / 4.0)
+    pools = np.asarray(pools, np.int64)
 
     # seeded prefix: every OSS plan starts with an exact (u==0) block, so
     # the first t_seed steps descend a single deterministic path per plan —
@@ -479,7 +495,8 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
     slot_plan = jnp.arange(Fp, dtype=_I32) % P
     plan = jnp.broadcast_to(slot_plan, (B, Fp))
     err = jnp.zeros((B, Fp), _I32)
-    ovf = jnp.zeros((B,), bool)
+    ovf_cap = jnp.zeros((B,), bool)
+    ovf_far = jnp.zeros((B,), bool)
     if t_seed > 0:
         off = seed_level_offset(t_seed)
         pw = (4 ** np.arange(t_seed - 1, -1, -1, dtype=np.int64)).astype(np.uint32)
@@ -519,7 +536,7 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
 
     def body_for(exact, F):
         def body(carry, x):
-            flo, rlo, size, err, plan, valid, ovf = carry
+            flo, rlo, size, err, plan, valid, ovf_cap, ovf_far = carry
             pos, rightv, u, lreq = x  # [P] each
             nch_cands = needles[:, pos].astype(_U32)  # [B, P]
             ph = plan[..., None] == pids  # [B, F, P]
@@ -538,16 +555,18 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
                 _flatten2(a) for a in (nflo, nrlo, nsize, err2, plan_c)
             )
             v = _flatten2(valid2)
+            occ_t = v.sum(axis=-1, dtype=_I32) if with_occ else None
             (flo, rlo, size, err, plan), valid, of = _compact(arrays, v, F)
-            ovf = ovf | of | far.any(axis=-1)
-            return (flo, rlo, size, err, plan, valid, ovf), None
+            ovf_cap = ovf_cap | of
+            ovf_far = ovf_far | far.any(axis=-1)
+            return (flo, rlo, size, err, plan, valid, ovf_cap, ovf_far), occ_t
 
         return body
 
     def resize(carry, Fnew, Fold):
         if Fnew == Fold:
             return carry
-        flo, rlo, size, err, plan, valid, ovf = carry
+        flo, rlo, size, err, plan, valid, ovf_cap, ovf_far = carry
         if Fnew > Fold:
             pad = Fnew - Fold
 
@@ -556,13 +575,17 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
                 return jnp.concatenate([a, z], axis=-1)
 
             return (up(flo), up(rlo), up(size), up(err), up(plan),
-                    up(valid), ovf)
+                    up(valid), ovf_cap, ovf_far)
         (flo, rlo, size, err, plan), valid, of = _compact(
             (flo, rlo, size, err, plan), valid, Fnew
         )
-        return (flo, rlo, size, err, plan, valid, ovf | of)
+        return (flo, rlo, size, err, plan, valid, ovf_cap | of, ovf_far)
 
-    carry = (flo, rlo, size, err, plan, valid, ovf)
+    carry = (flo, rlo, size, err, plan, valid, ovf_cap, ovf_far)
+    occs = []
+    if with_occ and t_seed > 0:
+        occ0 = carry[5].sum(axis=-1, dtype=_I32)  # valid count after seed
+        occs.append(jnp.broadcast_to(occ0, (t_seed, B)))
     Fcur = Fp
     t = t_seed
     while t < T:
@@ -578,23 +601,39 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
             jnp.asarray(u_s[t:hi]),
             jnp.asarray(lreq_s[t:hi]),
         )
-        carry, _ = jax.lax.scan(body_for(t < S, Fph), carry, xs)
+        carry, ys = jax.lax.scan(body_for(t < S, Fph), carry, xs)
+        if with_occ:
+            occs.append(ys)
         t = hi
-    flo, rlo, size, err, plan, valid, ovf = carry
-    return (flo, rlo, size, err, valid), ovf
+    flo, rlo, size, err, plan, valid, ovf_cap, ovf_far = carry
+    out = ((flo, rlo, size, err, valid), ovf_cap, ovf_far)
+    if with_occ:
+        occ = jnp.concatenate(occs, axis=0) if occs else jnp.zeros((0, B), _I32)
+        occ = jnp.clip(occ, 0, 65535).astype(jnp.uint16)
+        return out + (occ,)
+    return out
 
 
 def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
-                        n_total, exact_steps, n_static, probe=False):
+                        n_total, exact_steps, n_static, probe=False,
+                        pools=None, with_occ=False):
     """Pooled infix search on the dimer table: ~half the gathers of the mono
     path.  Structure mirrors _search_infix (seeded prefix, per-step pool
     schedule, plan-id-carrying pooled states); steps consume 1 or 2 chars per
     the fused plan schedule, and the first fused steps whose chars fall in
-    the exact prefix use the two-gather exact dimer path (wide intervals)."""
+    the exact prefix use the two-gather exact dimer path (wide intervals).
+
+    `pools`/`with_occ`/split overflow flags: see _search_infix.  Pools are
+    given in CHAR space (per-fused-step pools take the max over each step's
+    consumed span); the occupancy output is mapped back to char space the
+    same way, so the engine's calibration is gather-mode-agnostic."""
     P = len(plans)
     pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
     T = len(pos_s)
-    pools = infix_pool_schedule(plans, infix_off, n_static, tier.f_search / 4.0)
+    if pools is None:
+        pools = infix_pool_schedule(plans, infix_off, n_static,
+                                    tier.f_search / 4.0)
+    pools = np.asarray(pools, np.int64)
 
     from genmap_tpu.ops.rank import SEED_T0, seed_level_offset
 
@@ -608,7 +647,8 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
     slot_plan = jnp.arange(Fp, dtype=_I32) % P
     plan = jnp.broadcast_to(slot_plan, (B, Fp))
     err = jnp.zeros((B, Fp), _I32)
-    ovf = jnp.zeros((B,), bool)
+    ovf_cap = jnp.zeros((B,), bool)
+    ovf_far = jnp.zeros((B,), bool)
     if t_seed > 0:
         off = seed_level_offset(t_seed)
         pw = (4 ** np.arange(t_seed - 1, -1, -1, dtype=np.int64)).astype(np.uint32)
@@ -678,7 +718,7 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
 
     def body_for(exact, F, with_mono, with_pass):
         def body(carry, x):
-            flo, rlo, size, err, plan, valid, ovf = carry
+            flo, rlo, size, err, plan, valid, ovf_cap, ovf_far = carry
             consume, rightv, posA, posB, u_mid, u_end, l_mid, l_end = x  # [P]
             nchA_c = needles[:, posA].astype(_U32)  # [B, P]
             nchB_c = needles[:, posB].astype(_U32)
@@ -703,16 +743,18 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
                 _flatten2(a) for a in (nflo, nrlo, nsize, err2, plan_c)
             )
             v = _flatten2(valid2)
+            occ_t = v.sum(axis=-1, dtype=_I32) if with_occ else None
             (flo, rlo, size, err, plan), valid, of = _compact(arrays, v, F)
-            ovf = ovf | of | far.any(axis=-1)
-            return (flo, rlo, size, err, plan, valid, ovf), None
+            ovf_cap = ovf_cap | of
+            ovf_far = ovf_far | far.any(axis=-1)
+            return (flo, rlo, size, err, plan, valid, ovf_cap, ovf_far), occ_t
 
         return body
 
     def resize(carry, Fnew, Fold):
         if Fnew == Fold:
             return carry
-        flo, rlo, size, err, plan, valid, ovf = carry
+        flo, rlo, size, err, plan, valid, ovf_cap, ovf_far = carry
         if Fnew > Fold:
             pad = Fnew - Fold
 
@@ -721,11 +763,11 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
                 return jnp.concatenate([a, z], axis=-1)
 
             return (up(flo), up(rlo), up(size), up(err), up(plan),
-                    up(valid), ovf)
+                    up(valid), ovf_cap, ovf_far)
         (flo, rlo, size, err, plan), valid, of = _compact(
             (flo, rlo, size, err, plan), valid, Fnew
         )
-        return (flo, rlo, size, err, plan, valid, ovf | of)
+        return (flo, rlo, size, err, plan, valid, ovf_cap | of, ovf_far)
 
     # step kinds (STATIC per scan segment): whether any plan does a 1-char
     # step / pads this step — all-dimer segments skip those branches entirely
@@ -734,7 +776,11 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
         for t in range(Tf)
     ]
 
-    carry = (flo, rlo, size, err, plan, valid, ovf)
+    carry = (flo, rlo, size, err, plan, valid, ovf_cap, ovf_far)
+    occs_f = []
+    if with_occ:
+        occ0 = carry[5].sum(axis=-1, dtype=_I32)
+        occs_f.append(jnp.broadcast_to(occ0, (1, B)))  # post-seed state
     Fcur = Fp
     t = 0
     while t < Tf:
@@ -750,12 +796,37 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
         carry = resize(carry, Fph, Fcur)
         Fcur = Fph
         xs = tuple(jnp.asarray(sched[k, t:hi]) for k in range(8))
-        carry, _ = jax.lax.scan(
+        carry, ys = jax.lax.scan(
             body_for(bool(exact_f[t]), Fph, kind[t][0], kind[t][1]), carry, xs
         )
+        if with_occ:
+            occs_f.append(ys)
         t = hi
-    flo, rlo, size, err, plan, valid, ovf = carry
-    return (flo, rlo, size, err, valid), ovf
+    flo, rlo, size, err, plan, valid, ovf_cap, ovf_far = carry
+    out = ((flo, rlo, size, err, valid), ovf_cap, ovf_far)
+    if with_occ:
+        # map fused-step counts back to CHAR space: char c takes the max over
+        # the seed row (index 0) and every fused step whose consumed span
+        # covers c for any plan — the exact inverse of the pools_f derivation,
+        # so calibrated pools stay consistent across gather modes
+        occ_f = jnp.concatenate(occs_f, axis=0)  # [1 + Tf, B]
+        rows = []
+        for c in range(T):
+            cover = [0] if c < t_seed else []
+            for t in range(Tf):
+                for p in range(P):
+                    c0, k = int(charidx[t, p]), int(consume_s[t, p])
+                    if k > 0 and c0 <= c < c0 + k:
+                        cover.append(t + 1)
+            if not cover:
+                cover = [0]
+            r = occ_f[cover[0]]
+            for i in cover[1:]:
+                r = jnp.maximum(r, occ_f[i])
+            rows.append(r)
+        occ = jnp.clip(jnp.stack(rows, axis=0), 0, 65535).astype(jnp.uint16)
+        return out + (occ,)
+    return out
 
 
 def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors,
@@ -767,7 +838,6 @@ def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors,
     the same step (one shared gather, see _candidate_step_dir); inactive
     slots pass through.
     """
-    flo, rlo, size, err, valid, ovf = state
     if len(pos_arr) == 0:
         return state
     xs = (
@@ -777,7 +847,7 @@ def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors,
     )
 
     def body(carry, x):
-        flo, rlo, size, err, valid, ovf = carry
+        flo, rlo, size, err, valid, ovf_cap, ovf_far = carry
         pos, rightv, act = x  # [M] each
         nch = needles[:, pos].astype(_U32)[:, :, None]  # [B, M, 1]
         nflo, nrlo, nsize, err2, valid2, far = _candidate_step_dir(
@@ -796,8 +866,9 @@ def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors,
         arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
         v = _flatten2(valid2)
         (flo, rlo, size, err), valid, of = _compact(arrays, v, Fe)
-        ovf = ovf | of.any(axis=-1) | (far & act[None, :, None]).any(axis=(-2, -1))
-        return (flo, rlo, size, err, valid, ovf), None
+        ovf_cap = ovf_cap | of.any(axis=-1)
+        ovf_far = ovf_far | (far & act[None, :, None]).any(axis=(-2, -1))
+        return (flo, rlo, size, err, valid, ovf_cap, ovf_far), None
 
     state, _ = jax.lax.scan(body, state, xs)
     return state
@@ -877,7 +948,7 @@ def _ext_phase_fused(index, state, needles, sched, Fe, errors, exact):
 
     def body_for(with_mono, with_pass):
         def body(carry, x):
-            flo, rlo, size, err, valid, ovf = carry
+            flo, rlo, size, err, valid, ovf_cap, ovf_far = carry
             consume, rightv, posA, posB = x  # [M] each
             nchA = needles[:, posA].astype(_U32)[:, :, None]  # [B, M, 1]
             nchB = needles[:, posB].astype(_U32)[:, :, None]
@@ -890,8 +961,9 @@ def _ext_phase_fused(index, state, needles, sched, Fe, errors, exact):
             arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
             v = _flatten2(valid2)
             (flo, rlo, size, err), valid, of = _compact(arrays, v, Fe)
-            ovf = ovf | of.any(axis=-1) | far.any(axis=(-2, -1))
-            return (flo, rlo, size, err, valid, ovf), None
+            ovf_cap = ovf_cap | of.any(axis=-1)
+            ovf_far = ovf_far | far.any(axis=(-2, -1))
+            return (flo, rlo, size, err, valid, ovf_cap, ovf_far), None
 
         return body
 
@@ -980,14 +1052,15 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
     state = (
         r_flo[:, None, :], r_rlo[:, None, :], r_size[:, None, :],
         r_err[:, None, :], r_valid[:, None, :], ovf0,
+        jnp.zeros((B,), bool),
     )
 
     for pmap, n_right, n_left, pos_right, pos_left in _tree_levels(J, K):
-        flo, rlo, size, err, valid, ovf = state
+        flo, rlo, size, err, valid, ovf_cap, ovf_far = state
         jm = jnp.asarray(pmap)
         state = tuple(
             jnp.take(a, jm, axis=1) for a in (flo, rlo, size, err, valid)
-        ) + (ovf,)
+        ) + (ovf_cap, ovf_far)
         if tier.dimer:
             sched = _balanced_schedule_fused(n_right, n_left, pos_right, pos_left)
             if sched.shape[1]:
@@ -1002,27 +1075,36 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
                 state = _ext_phase(index, state, needles, pos, right, act, Fe,
                                    errors, tier.exact)
 
-    flo, rlo, size, err, valid, ovf = state
-    return (flo, rlo, size, err, valid), ovf
+    flo, rlo, size, err, valid, ovf_cap, ovf_far = state
+    return (flo, rlo, size, err, valid), ovf_cap, ovf_far
 
 
 def block_mapper_impl(
     index, needles, cnt, n_total, *, plans, infix_off, J, K, tier, errors,
     cap, rev_compl, with_states, exact_steps=64, n_static=None,
-    probe_only=False, with_exact=False,
+    probe_only=False, with_exact=False, pools=None, with_occ=False,
 ):
     """One batch of the block mapper (shared by the single-part, data-sharded
     and part-sharded paths; `n_total` may be a traced scalar under the
     part-sharded mesh — `exact_steps` and `n_static` (the largest part size,
-    used for the static pool schedule) must then be computed host-side)."""
+    used for the static pool schedule) must then be computed host-side).
+
+    `pools` (optional) replaces the static infix pool schedule with
+    occupancy-calibrated per-step capacities; `with_occ` adds the measured
+    per-block per-step candidate counts to the output (the calibration
+    input, see MappabilityEngine._execute_blocks)."""
     from genmap_tpu.ops.rank import rc_strand_count
 
     Bl = needles.shape[0]  # local batch (per shard under shard_map)
     infix_fn = _search_infix_dimer if tier.dimer else _search_infix
-    survivors, ovf1 = infix_fn(
+    infix_out = infix_fn(
         index, plans, infix_off, needles, Bl, tier, n_total, exact_steps,
         n_static if n_static is not None else n_total, probe=probe_only,
+        pools=pools, with_occ=with_occ,
     )
+    survivors, cap1, far1 = infix_out[:3]
+    occ = infix_out[3] if with_occ else None
+    ovf1 = cap1 | far1
     if probe_only:
         # unique-infix short-circuit probe: if a block's total infix
         # survivor mass is 1, the only candidate occurrence of EVERY k-mer
@@ -1047,9 +1129,11 @@ def block_mapper_impl(
             bits = (sb << jnp.arange(32, dtype=_U32)).sum(axis=-1, dtype=_U32)
             return dict(skip_bits=bits)
         return dict(mass=mass, nwin=nwin, overflow=ovf1)
-    states, ovf2 = _extend_to_kmers(index, survivors, needles, Bl, J, K, tier, errors)
+    states, cap2, far2 = _extend_to_kmers(index, survivors, needles, Bl, J, K,
+                                          tier, errors)
     flo, rlo, size, err, valid = states
-    ovf = ovf1 | ovf2
+    ovf = ovf1 | cap2 | far2
+    ovf_cap = cap1 | cap2
 
     # the index covers both strands; size counts fwd + rc occurrences.
     # forward-only sizes (for -nc and for exact-duplicate detection) come
@@ -1068,7 +1152,13 @@ def block_mapper_impl(
     out = dict(
         hits=jnp.where(valid_j, hits, 0).astype(jnp.uint16),
         overflow=ovf,
+        # capacity overflow reported separately: the engine escalates these
+        # straight to a wider tier (a same-size exact tier would re-overflow)
+        # while far-only blocks go to the next exact tier
+        overflow_cap=ovf_cap,
     )
+    if with_occ:
+        out["occ"] = occ.T  # [B, T] for batch-axis sharding
     if with_exact or with_states:
         exact_mask = valid & (err == 0)
         exact_total = jnp.where(exact_mask, size, 0).sum(axis=-1, dtype=_U32)
@@ -1102,6 +1192,8 @@ def make_block_mapper(
     mesh=None,
     probe_only=False,
     with_exact: bool = False,
+    pools=None,
+    with_occ: bool = False,
 ):
     """Build the jitted batch mapper for one configuration.
 
@@ -1143,8 +1235,25 @@ def make_block_mapper(
             index, needles, cnt, n_total, plans=plans, infix_off=infix_off,
             J=J, K=K, tier=tier, errors=errors, cap=cap, rev_compl=rev_compl,
             with_states=with_states, exact_steps=ex_steps,
-            probe_only=probe_only, with_exact=with_exact,
+            probe_only=probe_only, with_exact=with_exact, pools=pools,
+            with_occ=with_occ,
         )
+
+    def _attach_warm(run, run_jit, batch_sharding=None):
+        """`run.warm()` AOT-compiles the program without executing it — the
+        engine overlaps escalation-tier compiles with tier-0 execution
+        (remote TPU compiles cost minutes cold, NOTES.md)."""
+
+        def warm():
+            st = jax.ShapeDtypeStruct((B,), jnp.uint32,
+                                      sharding=batch_sharding)
+            ct = jax.ShapeDtypeStruct((B,), jnp.int32,
+                                      sharding=batch_sharding)
+            lim = jax.ShapeDtypeStruct((), jnp.uint32)
+            run_jit.lower(index, dtext, st, ct, lim).compile()
+
+        run.warm = warm
+        return run
 
     if mesh is None:
         run_jit = jax.jit(run_impl)
@@ -1152,12 +1261,12 @@ def make_block_mapper(
         def run(starts, cnt, limit):
             return run_jit(index, dtext, starts, cnt, limit)
 
-        return run
+        return _attach_warm(run, run_jit)
 
     # sharded execution: per-shard local programs via shard_map (the SPMD
     # partitioner otherwise inserts all-gathers around the compaction
     # scatters); the index and text are replicated, blocks split along 'data'
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     smapped = jax.shard_map(
         run_impl,
@@ -1171,4 +1280,4 @@ def make_block_mapper(
     def run(starts, cnt, limit):
         return run_jit(index, dtext, starts, cnt, limit)
 
-    return run
+    return _attach_warm(run, run_jit, NamedSharding(mesh, P("data")))

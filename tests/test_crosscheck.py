@@ -30,7 +30,9 @@ def _build_crosscheck(tmp):
     return exe
 
 
-@pytest.mark.parametrize("K,E", [(20, 1), (16, 0)])
+@pytest.mark.parametrize(
+    "K,E", [pytest.param(20, 1, marks=pytest.mark.slow), (16, 0)]
+)
 def test_bedgraph_matches_independent_counter(tmp_path, K, E):
     tmp = str(tmp_path)
     exe = _build_crosscheck(tmp)

@@ -42,11 +42,11 @@ def _mk_data(seed=0, n=200_000, with_n=False, repeats=False, nseq=1):
 @pytest.mark.parametrize(
     "K,e,o,with_n,repeats",
     [
-        (24, 0, 20, False, False),
-        (24, 1, 20, False, True),
-        (36, 2, 24, False, True),
-        (36, 2, 24, True, False),
-        (50, 2, 31, False, False),
+        pytest.param(24, 0, 20, False, False, marks=pytest.mark.slow),
+        pytest.param(24, 1, 20, False, True, marks=pytest.mark.slow),
+        (36, 2, 24, False, True),  # quick tier: the branchy dimer case
+        pytest.param(36, 2, 24, True, False, marks=pytest.mark.slow),
+        pytest.param(50, 2, 31, False, False, marks=pytest.mark.slow),
     ],
 )
 def test_dimer_engine_matches_mono(K, e, o, with_n, repeats):

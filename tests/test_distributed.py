@@ -24,6 +24,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.timeout(1200)
+@pytest.mark.slow
 def test_two_process_mesh(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "helpers", "dist_worker.py")
     port = _free_port()

@@ -40,26 +40,48 @@ def _run_case(rng, errors, alpha, nseq=3, seqlen=120, ks=None, cap=255):
             )
 
 
+@pytest.mark.parametrize("errors", [0, 1, 2, 3, 4])
+def test_quick_differential(errors):
+    """Quick tier: one (k, overlap) per error count, Dna5, vs the oracle.
+
+    The full sweeps below cover every k x every overlap x both alphabets;
+    this is the <5-min correctness gate (VERDICT r3 weak #5)."""
+    rng = np.random.default_rng(900 + errors)
+    min_k = errors + 1 + (errors >= 2)
+    k = min_k + 2
+    seqs = [rng.integers(0, 5, size=120, dtype=np.uint8) for _ in range(3)]
+    eng = _mk_engine(seqs)
+    expected = trivial_frequency(seqs, seqs, k, errors, 255, True)
+    params = SearchParams(length=k, overlap=min_k + 1, rev_compl=True)
+    res = eng.compute_file(eng.layouts[0], params, errors, 255)
+    np.testing.assert_array_equal(res.c, expected)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("alpha", [4, 5])
 def test_exact(alpha):
     _run_case(np.random.default_rng(100 + alpha), 0, alpha)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("alpha", [4, 5])
 def test_hamming_1(alpha):
     _run_case(np.random.default_rng(200 + alpha), 1, alpha, ks=[2, 4, 6])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("alpha", [4, 5])
 def test_hamming_2(alpha):
     _run_case(np.random.default_rng(300 + alpha), 2, alpha, ks=[4, 6, 8])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("alpha", [4, 5])
 def test_hamming_3(alpha):
     _run_case(np.random.default_rng(400 + alpha), 3, alpha, ks=[5, 8])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("alpha", [4, 5])
 def test_hamming_4(alpha):
     _run_case(np.random.default_rng(500 + alpha), 4, alpha, ks=[6, 8])
@@ -117,7 +139,11 @@ def test_multipart_matches_single(errors):
         np.testing.assert_array_equal(r1.c, r2.c, err_msg=f"k={k} e={errors}")
 
 
-@pytest.mark.parametrize("ke", [(8, 0, 8), (12, 1, 10), (30, 2, 27)])
+@pytest.mark.parametrize(
+    "ke",
+    [(8, 0, 8), pytest.param((12, 1, 10), marks=pytest.mark.slow),
+     pytest.param((30, 2, 27), marks=pytest.mark.slow)],
+)
 def test_dedup_matches_normal(ke):
     """The same-kmer dedup pass (value keys for K<=27, e=0-interval keys
     beyond) must be invisible in the results (reference trick

@@ -17,6 +17,9 @@ from genmap_tpu.cli.main import main as cli_main
 CASES_DIR = "/root/reference/tests/test_cases"
 
 # (case, directory_index?, map flags)  — tests/CMakeLists.txt:56-73
+# quick tier: one representative per feature axis (Dna4, Dna5/N, e=1,
+# directory + exclude-pseudo, BED selection); the rest run in the full suite
+_QUICK = {"1b", "1c", "1f", "3d", "3e"}
 CASES = [
     ("1a", False, ["-E", "0", "-K", "3", "-nc"]),
     ("1b", False, ["-E", "0", "-K", "3"]),
@@ -36,6 +39,11 @@ CASES = [
     ("3d", True, ["-E", "0", "-K", "4", "-ep"]),
     ("3e", True, ["-E", "0", "-K", "4", "-ep"]),
     ("3f", True, ["-E", "0", "-K", "4", "-ep"]),
+]
+CASE_IDS = [c[0] for c in CASES]
+CASES = [
+    pytest.param(*c, marks=() if c[0] in _QUICK else (pytest.mark.slow,))
+    for c in CASES
 ]
 
 FORMATS = [
@@ -87,7 +95,7 @@ def tmp_root(tmp_path_factory):
     return tmp_path_factory.mktemp("golden")
 
 
-@pytest.mark.parametrize("case,directory,flags", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize("case,directory,flags", CASES, ids=CASE_IDS)
 def test_golden_case(case, directory, flags, tmp_root):
     case_dir = f"{CASES_DIR}/case_{case}"
     idx = _index_for(case, directory, tmp_root)

@@ -25,10 +25,10 @@ def _engine_for(seqs):
 @pytest.mark.parametrize(
     "K,errors,overlap_frac",
     [
-        (20, 1, None),   # the bowtie-test configuration
-        (24, 2, None),   # default overlap formula
-        (30, 2, 0.5),
-        (16, 3, None),
+        (20, 1, None),   # the bowtie-test configuration (quick tier)
+        pytest.param(24, 2, None, marks=pytest.mark.slow),
+        pytest.param(30, 2, 0.5, marks=pytest.mark.slow),
+        pytest.param(16, 3, None, marks=pytest.mark.slow),
         (12, 0, None),
     ],
 )

@@ -35,7 +35,11 @@ def _data(seed, n=200_000, nseq=2, with_n=False, repeat_all=False):
     return build_index([ff], sampling=5)
 
 
-@pytest.mark.parametrize("with_n,rc", [(False, True), (True, True), (False, False)])
+@pytest.mark.parametrize(
+    "with_n,rc",
+    [(False, True), pytest.param(True, True, marks=pytest.mark.slow),
+     pytest.param(False, False, marks=pytest.mark.slow)],
+)
 def test_probe_matches_full(with_n, rc):
     data = _data(seed=3 + int(with_n), with_n=with_n)
     K, e, o = 64, 1, 33  # J=32: extension-dominated -> probe active

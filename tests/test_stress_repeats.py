@@ -61,6 +61,7 @@ def _oracle_freq(seqs, kmer, errors, cap, rev_compl):
     return min(total, cap)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ke", [(20, 1), (36, 2)])
 def test_repeat_rich_sampled_oracle(ke):
     K, E = ke
