@@ -555,15 +555,17 @@ class MappabilityEngine:
         # (algo.hpp:434-439); here capacity is right-sized from measurement
         # and the 1% tail escalates through the tier ladder as usual.
         tuned_key = (K, errors, o, use_dimer, tiers[0].f_extend)
-        tuned = (
-            None if self.part_sharded else self._tuned_pools.get(tuned_key)
+        tuned_entry = (
+            "absent" if self.part_sharded
+            else self._tuned_pools.get(tuned_key, "absent")
         )
+        tuned = tuned_entry if isinstance(tuned_entry, list) else None
         base0 = infix_pool_schedule(plans, K - o, n_max, tiers[0].f_search / 4.0)
         B_cal = self._cal_batch
         if self.mesh is not None:
             B_cal = -(-B_cal // self._mesh_data) * self._mesh_data
         if (
-            tuned is None
+            tuned_entry == "absent"
             and self._calibrate_enabled
             and not self.part_sharded
             and collect_exact is None
@@ -609,17 +611,53 @@ class MappabilityEngine:
             for pi, out in enumerate(outs):
                 occ = out["occ"][: len(sel)].astype(np.int64)  # [nb, T]
                 occg = occ[~ovf] if (~ovf).any() else occ
-                q = np.percentile(occg, 99, axis=0)
                 base_pi = infix_pool_schedule(
                     plans, K - o, self.data.parts[pi].n_total,
                     tiers[0].f_search / 4.0,
                 )
+                # a block escalates if it exceeds the pool at ANY step, so
+                # per-step percentiles compound across the ~T steps (measured:
+                # per-step p99 pools overflowed 67% of (20,1) blocks).  Rank
+                # blocks by their worst step demand relative to the static
+                # schedule, drop the top 2% (they escalate), and provision the
+                # per-step MAX over the kept blocks with x1.2+1 headroom for
+                # out-of-sample variance.
+                ratio = (occg / np.maximum(base_pi[None, :], 1)).max(axis=1)
+                kth = np.quantile(ratio, 0.98)
+                kept = occg[ratio <= kth]
+                dem = kept.max(axis=0) if len(kept) else occg.max(axis=0)
+                # pools may decay at most ONE step behind demand: a segment
+                # down-resize compacts the ENTERING carry (= the previous
+                # step's survivors, up to dem[t-1]) into the new pool, so
+                # pool[t] must also hold dem[t-1] (measured: next-step-sized
+                # pools overflowed 59% of (20,1) blocks at the 32->16 resize
+                # while per-step demand fit everywhere)
+                dem = dem.astype(np.float64)
+                dem[1:] = np.maximum(dem[1:], dem[:-1])
                 tp = np.array(
-                    [_quant4(max(P_ + 1, 1.2 * qv + 1.0)) for qv in q],
+                    [_quant4(max(P_ + 1, 1.2 * dv + 1.0)) for dv in dem],
                     np.int64,
                 )
                 tuned.append(tuple(int(x) for x in np.minimum(tp, base_pi)))
-            self._tuned_pools[tuned_key] = tuned
+            # only adopt a tuned schedule that cuts real work: small
+            # reductions measured SLOWER than the static schedule on the
+            # chip ((20,1): 0.76x the slot-steps ran 25% slower end-to-end;
+            # (30,2): 0.60x ran 1.9x faster) — the reshaped segments/sorts
+            # carry overhead that a <30% cut does not repay
+            ratio = max(
+                sum(tp) / max(1.0, float(
+                    infix_pool_schedule(
+                        plans, K - o, self.data.parts[pi].n_total,
+                        tiers[0].f_search / 4.0,
+                    ).sum()
+                ))
+                for pi, tp in enumerate(tuned)
+            )
+            if ratio > 0.7:
+                tuned = None
+                self._tuned_pools[tuned_key] = "static"
+            else:
+                self._tuned_pools[tuned_key] = tuned
             mask = np.ones(len(pending), bool)
             mask[idx] = False
             pending = np.concatenate([pending[mask], sel[ovf]])

@@ -160,7 +160,10 @@ def _compact(arrays, valid, F):
     """
     M = valid.shape[-1]
     nvalid = valid.sum(axis=-1, dtype=_I32)
-    if F >= 64 or M >= 512:
+    # the one-hot product is O(M*F) per state row — with the dimer path's
+    # x16 candidate fan-out it loses to the sort well below the mono
+    # crossover (measured r4: F=16/M=256 one-hot cost tier-0 (20,1) ~30%)
+    if F >= 64 or M >= 256:
         key = (~valid).astype(jnp.uint8)
         sorted_ops = jax.lax.sort(
             (key,) + tuple(a for a in arrays), dimension=-1, is_stable=True,
@@ -551,12 +554,15 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
             )
             A = nflo.shape[-1]
             plan_c = jnp.broadcast_to(plan[..., None], plan.shape + (A,))
-            arrays = tuple(
-                _flatten2(a) for a in (nflo, nrlo, nsize, err2, plan_c)
-            )
+            # (err, plan) ride one packed operand: compaction cost scales
+            # with the operand count (sort passes / one-hot products)
+            ep = (err2.astype(_U32) << _U32(4)) | plan_c.astype(_U32)
+            arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, ep))
             v = _flatten2(valid2)
             occ_t = v.sum(axis=-1, dtype=_I32) if with_occ else None
-            (flo, rlo, size, err, plan), valid, of = _compact(arrays, v, F)
+            (flo, rlo, size, ep), valid, of = _compact(arrays, v, F)
+            err = (ep >> _U32(4)).astype(_I32)
+            plan = (ep & _U32(15)).astype(_I32)
             ovf_cap = ovf_cap | of
             ovf_far = ovf_far | far.any(axis=-1)
             return (flo, rlo, size, err, plan, valid, ovf_cap, ovf_far), occ_t
@@ -576,9 +582,12 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
 
             return (up(flo), up(rlo), up(size), up(err), up(plan),
                     up(valid), ovf_cap, ovf_far)
-        (flo, rlo, size, err, plan), valid, of = _compact(
-            (flo, rlo, size, err, plan), valid, Fnew
+        ep = (err.astype(_U32) << _U32(4)) | plan.astype(_U32)
+        (flo, rlo, size, ep), valid, of = _compact(
+            (flo, rlo, size, ep), valid, Fnew
         )
+        err = (ep >> _U32(4)).astype(_I32)
+        plan = (ep & _U32(15)).astype(_I32)
         return (flo, rlo, size, err, plan, valid, ovf_cap | of, ovf_far)
 
     carry = (flo, rlo, size, err, plan, valid, ovf_cap, ovf_far)
@@ -739,12 +748,15 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
             )
             A = nflo.shape[-1]
             plan_c = jnp.broadcast_to(plan[..., None], plan.shape + (A,))
-            arrays = tuple(
-                _flatten2(a) for a in (nflo, nrlo, nsize, err2, plan_c)
-            )
+            # (err, plan) ride one packed operand: compaction cost scales
+            # with the operand count (sort passes / one-hot products)
+            ep = (err2.astype(_U32) << _U32(4)) | plan_c.astype(_U32)
+            arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, ep))
             v = _flatten2(valid2)
             occ_t = v.sum(axis=-1, dtype=_I32) if with_occ else None
-            (flo, rlo, size, err, plan), valid, of = _compact(arrays, v, F)
+            (flo, rlo, size, ep), valid, of = _compact(arrays, v, F)
+            err = (ep >> _U32(4)).astype(_I32)
+            plan = (ep & _U32(15)).astype(_I32)
             ovf_cap = ovf_cap | of
             ovf_far = ovf_far | far.any(axis=-1)
             return (flo, rlo, size, err, plan, valid, ovf_cap, ovf_far), occ_t
@@ -764,9 +776,12 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
 
             return (up(flo), up(rlo), up(size), up(err), up(plan),
                     up(valid), ovf_cap, ovf_far)
-        (flo, rlo, size, err, plan), valid, of = _compact(
-            (flo, rlo, size, err, plan), valid, Fnew
+        ep = (err.astype(_U32) << _U32(4)) | plan.astype(_U32)
+        (flo, rlo, size, ep), valid, of = _compact(
+            (flo, rlo, size, ep), valid, Fnew
         )
+        err = (ep >> _U32(4)).astype(_I32)
+        plan = (ep & _U32(15)).astype(_I32)
         return (flo, rlo, size, err, plan, valid, ovf_cap | of, ovf_far)
 
     # step kinds (STATIC per scan segment): whether any plan does a 1-char
