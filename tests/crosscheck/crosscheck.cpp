@@ -9,15 +9,17 @@
 //   usage: crosscheck <codes.bin> <K> <E> <out.bedgraph> <chrom_name>
 //
 // codes.bin: one byte per base, values 0..3 (single Dna4 sequence).
-// K <= 32, E <= 1.  Counts occurrences of every K-mer (and of its reverse
+// K <= 32, E <= 2.  Counts occurrences of every K-mer (and of its reverse
 // complement) in the sequence with up to E mismatches, saturating at 65535,
 // and writes a frequency bedgraph: 0-based half-open runs, zeros suppressed.
 //
-// Pigeonhole: any occurrence with <= 1 mismatch matches one K/2-half exactly;
-// candidate positions come from exact half lookups in a bucket-sorted table
-// of all half-mer values; full verification is a popcount on 2-bit packed
-// words.  Exact matches found by both halves are deduplicated by requiring
-// the mismatch to lie in the OTHER half for the second lookup.
+// Pigeonhole over S = max(2, E+1) equal segments (K % S == 0): any
+// occurrence with <= E mismatches matches at least one segment exactly;
+// candidate positions come from exact segment lookups in a bucket-sorted
+// table of all segment-mer values; full verification is a popcount on
+// 2-bit packed words.  An occurrence found via several exact segments is
+// counted once by requiring the looked-up segment to be the FIRST exactly
+// matching segment.
 
 #include <cstdint>
 #include <cstdio>
@@ -42,11 +44,13 @@ int main(int argc, char** argv) {
     const int E = std::atoi(argv[3]);
     const char* outpath = argv[4];
     const std::string chrom = argv[5];
-    if (K < 4 || K > 32 || K % 2 != 0 || E < 0 || E > 1) {
-        std::fprintf(stderr, "need even 4 <= K <= 32 and 0 <= E <= 1\n");
+    const int S = (E + 1) < 2 ? 2 : (E + 1);
+    if (K < 4 || K > 32 || K % S != 0 || E < 0 || E > 2) {
+        std::fprintf(stderr,
+                     "need 4 <= K <= 32, K %% max(2,E+1) == 0, 0 <= E <= 2\n");
         return 2;
     }
-    const int H = K / 2;
+    const int H = K / S;
 
     FILE* f = std::fopen(path, "rb");
     if (!f) { std::perror("codes.bin"); return 2; }
@@ -120,23 +124,20 @@ int main(int argc, char** argv) {
                     q |= (3 - c) << (2 * (K - 1 - j));
                 }
             }
-            const uint64_t qlo = q & hmask, qhi = q >> (2 * H);
-            // half A exact at offset 0: verify whole k-mer (<= E mismatches)
-            for (uint32_t t = bucket_off[qlo]; t < bucket_off[qlo + 1]; ++t) {
-                long p = bucket_pos[t];
-                if (p > nk - 1) continue;
-                if (mismatches(kmer[p], q) <= E) count++;
-            }
-            if (E >= 1) {
-                // half B exact at offset H: mismatch must be in half A
-                // (otherwise half A was exact and it was counted above)
-                for (uint32_t t = bucket_off[qhi]; t < bucket_off[qhi + 1]; ++t) {
-                    long p = (long)bucket_pos[t] - H;
+            for (int j = 0; j < S; ++j) {
+                const uint64_t qseg = (q >> (2 * H * j)) & hmask;
+                for (uint32_t t = bucket_off[qseg]; t < bucket_off[qseg + 1];
+                     ++t) {
+                    long p = (long)bucket_pos[t] - (long)H * j;
                     if (p < 0 || p > nk - 1) continue;
-                    int mmlo = mismatches(kmer[p] & hmask, qlo);
-                    if (mmlo >= 1 && mmlo <= E &&
-                        mismatches(kmer[p], q) <= E)
-                        count++;
+                    // count once: segment j must be the FIRST exact segment
+                    bool first = true;
+                    for (int k2 = 0; k2 < j && first; ++k2)
+                        if (mismatches((kmer[p] >> (2 * H * k2)) & hmask,
+                                       (q >> (2 * H * k2)) & hmask) == 0)
+                            first = false;
+                    if (!first) continue;
+                    if (mismatches(kmer[p], q) <= E) count++;
                 }
             }
         }
