@@ -124,17 +124,33 @@ def main() -> None:
               f"ovf {st['overflow_blocks']}, dispatch {st['dispatch_s']:.1f}s, "
               f"fetch {st['fetch_s']:.1f}s]", file=sys.stderr)
 
-    tier0 = eng.tiers[0]
-    tuned = None
-    for tk, tv in eng._tuned_pools.items():
-        if tk[:3] == (K, errors, o) and isinstance(tv, list):
-            tuned = tv
-    pools0 = None if tuned is None else tuned[0]
+    import dataclasses
+    import math
 
-    run = eng._runner(0, K, errors, o, J, B, tier0, 65535, True, False,
-                      pools=pools0)
+    tier0 = eng.tiers[0]
+    # residual blocks run on the engine's residual tier — first EXACT tier
+    # with a 4-slot extension frontier and the residual-calibrated infix
+    # pools (probe residuals far-flag the fast tier and overflow a 1-slot
+    # extension on genome-like text; measuring them at tier 0 would
+    # undercount)
+    tier_exact = dataclasses.replace(
+        next(t for t in eng.tiers[1:] if t.exact and not t.dimer),
+        f_extend=4,
+        dimer=eng._dimer_ok,  # residual cohort runs exact-dimer (engine)
+    )
+    pools_res = None
+    for tk, tv in eng._tuned_pools.items():
+        if tk[:3] == (K, errors, o) and isinstance(tv, list) and tk[-1] >= 1:
+            pools_res = tv[0]
+    run = eng._runner(0, K, errors, o, J, B, tier_exact, 65535, True, False,
+                      pools=pools_res)
+    # probe with the engine's scan cut (mass==1 at any prefix proves the
+    # block; see engine/mappability.py)
+    n_tot = data.parts[0].n_total
+    cut = math.ceil(math.log(2 * n_tot, 4)) + eng._probe_cut_slack
+    cut = cut if o - cut >= 6 else None
     prun = eng._probe_runner(0, K, errors, o, J, B, tier0, 65535, True,
-                             mode="bits", pools=pools0)
+                             mode="bits", probe_cut=cut)
 
     # NB+1 batches of adjacent-k-mer block starts (+1 = warmup); needles are
     # extracted on device from the packed text, so only uint32 starts cross
@@ -166,10 +182,6 @@ def main() -> None:
     _, bits = probe_jit(d_starts, d_cnts)
     bits = np.asarray(bits)
     print(f"# probe compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
-    skipm = (
-        (bits.reshape(NB, B // 32, 32)[:, :, None]
-         >> np.arange(32, dtype=np.uint32)) & 1
-    )
     skip_blocks = np.unpackbits(
         np.ascontiguousarray(bits).view(np.uint8)
     ).sum()
@@ -228,7 +240,7 @@ def main() -> None:
             t_res = min(t_res, time.time() - t0)
         t_res *= n_res / (NBr * B)  # padded share
         rate_res = n_res * J / max(t_res, 1e-9)
-        print(f"# residual full pipeline: {n_res} blocks ({n_res * J} kmers) "
+        print(f"# residual exact tier: {n_res} blocks ({n_res * J} kmers) "
               f"in {t_res:.2f}s -> {rate_res:,.0f} kmers/s", file=sys.stderr)
 
     t_eff = t_probe + t_res

@@ -13,9 +13,12 @@ Model (all deterministic from `seed`):
   * F repeat families; family consensus lengths log-uniform in [150, 6000]
     (Alu ~300 bp, L1 ~6 kbp); copy counts follow a power law so a few
     families dominate (Alu: ~1M copies in hg38)
-  * each copy: per-base substitution at a family-age rate drawn from
-    [0.02, 0.20], random truncation (5' truncation is the norm for L1s),
-    random strand
+  * each copy: per-base substitution at a family-age rate — most families
+    are OLD (log-uniform 3-25% divergence, like the bulk of Alu/L1 copies
+    at 85-97% identity), a small young minority (0.3-2%, the recent
+    L1HS/AluY/segdup analog) carries the near-identical copies that
+    actually survive (k,2)-search neighborhoods; random truncation
+    (5' truncation is the norm for L1s), random strand
   * target repeat fraction ~48%
 
 Returns uint8 codes 0..3.  ~1 s per 10 Mbp.
@@ -36,7 +39,12 @@ def make_genomelike(n: int, seed: int = 0, repeat_frac: float = 0.48,
         rng.uniform(np.log(150.0), np.log(6000.0), size=n_families)
     ).astype(np.int64)
     fams = [rng.integers(0, 4, size=int(m), dtype=np.uint8) for m in fam_len]
-    fam_rate = rng.uniform(0.02, 0.20, size=n_families)
+    young = rng.random(n_families) < 0.12
+    fam_rate = np.where(
+        young,
+        np.exp(rng.uniform(np.log(0.003), np.log(0.02), size=n_families)),
+        np.exp(rng.uniform(np.log(0.03), np.log(0.25), size=n_families)),
+    )
     w = rng.pareto(1.5, size=n_families) + 0.05
     w /= w.sum()
 

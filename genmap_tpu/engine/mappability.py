@@ -179,6 +179,9 @@ class MappabilityEngine:
         # {(K, e, o, dimer): [per-part np pool arrays]}
         self._calibrate_enabled = True
         self._cal_batch = 2048  # calibration sample size (tests shrink it)
+        # probe scan cut: stop at log4(2n) + slack chars (None = full scan;
+        # measured flat optimum 14-26 on genome-like text, r4)
+        self._probe_cut_slack = 14
         self._tuned_pools: dict = {}
         self._warm_executor = None  # lazy single-thread AOT-compile worker
         self.tiers = tiers
@@ -246,8 +249,9 @@ class MappabilityEngine:
         return self._runners[key]
 
     def _probe_runner(self, pi, K, errors, o, J, B, tier, cap, rev_compl,
-                      mode=True, pools=None):
-        key = ("probe", pi, K, errors, o, J, B, tier, rev_compl, mode, pools)
+                      mode=True, pools=None, probe_cut=None):
+        key = ("probe", pi, K, errors, o, J, B, tier, rev_compl, mode, pools,
+               probe_cut)
         if key not in self._runners:
             self._runners[key] = make_block_mapper(
                 self.indices[pi],
@@ -263,6 +267,7 @@ class MappabilityEngine:
                 mesh=self.mesh,
                 probe_only=mode,
                 pools=pools,
+                probe_cut=probe_cut,
             )
         return self._runners[key]
 
@@ -476,6 +481,7 @@ class MappabilityEngine:
         self.stats["probe_skipped"] = 0
         self.stats["dimer_tier"] = False
         pending = np.arange(len(starts))
+        start_tier = 0  # probe residuals may start at the first exact tier
         # size batches by k-mer count, not block count, so small stepSizes
         # still fill the device (and fewer host<->device round trips)
         B0 = max(self.batch_blocks, -(-self.batch_kmers // J))
@@ -543,36 +549,46 @@ class MappabilityEngine:
         self.stats["dimer_tier"] = use_dimer
 
         # ---- occupancy calibration ------------------------------------------
-        # The static pool schedule is a safe over-estimate: measured waste is
-        # 3-5x on branch-heavy configs (benchmarks/occupancy_probe.py), and
-        # per-step live-state counts concentrate tightly across blocks.  For
-        # such configs the FIRST batch runs a calibration program that also
-        # returns the per-step candidate counts; per-part pools are tightened
-        # to the 99th percentile (x1.2 safety, quantized, never wider than
-        # the static schedule) and all remaining tier-0 batches — and the
-        # probe — run at the tuned capacities.  The reference's analog is
-        # OpenMP dynamic scheduling soaking up per-block variance
-        # (algo.hpp:434-439); here capacity is right-sized from measurement
-        # and the 1% tail escalates through the tier ladder as usual.
-        tuned_key = (K, errors, o, use_dimer, tiers[0].f_extend)
-        tuned_entry = (
-            "absent" if self.part_sharded
-            else self._tuned_pools.get(tuned_key, "absent")
-        )
-        tuned = tuned_entry if isinstance(tuned_entry, list) else None
-        base0 = infix_pool_schedule(plans, K - o, n_max, tiers[0].f_search / 4.0)
-        B_cal = self._cal_batch
-        if self.mesh is not None:
-            B_cal = -(-B_cal // self._mesh_data) * self._mesh_data
-        if (
-            tuned_entry == "absent"
-            and self._calibrate_enabled
-            and not self.part_sharded
-            and collect_exact is None
-            and not csv_needed
-            and int(base0.sum()) >= 96
-            and len(pending) >= 3 * B_cal
-        ):
+        # The static pool schedule is a safe but crude estimate: measured
+        # waste is 3-5x on branch-heavy configs, and on genome-like text the
+        # probe's RESIDUAL cohort (repeat-context blocks) systematically
+        # exceeds it instead (benchmarks/occupancy_probe.py; bench r4).  The
+        # first batch of the main cohort therefore runs a calibration
+        # program that also returns per-step candidate counts, and the
+        # remaining batches of that cohort run at pools sized to the
+        # measurement — TIGHTER than static on over-provisioned configs,
+        # WIDER (up to the next tier's scale) for probe residuals whose
+        # static pools would force a guaranteed double pass.  The
+        # reference's analog is OpenMP dynamic scheduling soaking up
+        # per-block variance (algo.hpp:434-439); here capacity is
+        # right-sized from measurement and the ~2% tail escalates through
+        # the tier ladder as usual.  Called AFTER the probe so residual
+        # cohorts are calibrated as themselves.
+        def run_calibration(pending, cal_idx):
+            cal_tier = tiers[cal_idx]
+            tuned_key = (K, errors, o, cal_tier.dimer, cal_tier.f_extend,
+                         cal_idx)
+            entry = (
+                "absent" if self.part_sharded
+                else self._tuned_pools.get(tuned_key, "absent")
+            )
+            if isinstance(entry, list):
+                return pending, entry
+            base0 = infix_pool_schedule(plans, K - o, n_max,
+                                        cal_tier.f_search / 4.0)
+            B_cal = self._cal_batch
+            if self.mesh is not None:
+                B_cal = -(-B_cal // self._mesh_data) * self._mesh_data
+            if not (
+                entry == "absent"
+                and self._calibrate_enabled
+                and not self.part_sharded
+                and collect_exact is None
+                and not csv_needed
+                and int(base0.sum()) >= 96
+                and len(pending) >= 3 * B_cal
+            ):
+                return pending, None
             import time as _time
 
             from genmap_tpu.parallel.dist import fetch
@@ -583,7 +599,7 @@ class MappabilityEngine:
             )
             sel = pending[idx]
             runs_cal = self._runners_for(
-                K, errors, o, J, B_cal, tiers[0], cap, params.rev_compl,
+                K, errors, o, J, B_cal, cal_tier, cap, params.rev_compl,
                 False, with_occ=True,
             )
             t0 = _time.perf_counter()
@@ -607,21 +623,33 @@ class MappabilityEngine:
             )
             self.stats["scatter_s"] += _time.perf_counter() - t0
             P_ = len(plans)
+            # upper clamp: the next tier's scale — a residual cohort may
+            # genuinely need wider-than-static pools, but beyond the next
+            # rung the ladder handles it
+            next_scale = max(
+                (t.f_search for t in tiers[cal_idx + 1 :]
+                 if t.f_search > cal_tier.f_search),
+                default=cal_tier.f_search,
+            ) / 4.0
             tuned = []
+            ratios = []
             for pi, out in enumerate(outs):
                 occ = out["occ"][: len(sel)].astype(np.int64)  # [nb, T]
                 occg = occ[~ovf] if (~ovf).any() else occ
                 base_pi = infix_pool_schedule(
                     plans, K - o, self.data.parts[pi].n_total,
-                    tiers[0].f_search / 4.0,
+                    cal_tier.f_search / 4.0,
+                )
+                clamp_pi = infix_pool_schedule(
+                    plans, K - o, self.data.parts[pi].n_total, next_scale
                 )
                 # a block escalates if it exceeds the pool at ANY step, so
-                # per-step percentiles compound across the ~T steps (measured:
-                # per-step p99 pools overflowed 67% of (20,1) blocks).  Rank
-                # blocks by their worst step demand relative to the static
-                # schedule, drop the top 2% (they escalate), and provision the
-                # per-step MAX over the kept blocks with x1.2+1 headroom for
-                # out-of-sample variance.
+                # per-step percentiles compound across the ~T steps
+                # (measured: per-step p99 pools overflowed 67% of (20,1)
+                # blocks).  Rank blocks by their worst step demand relative
+                # to the static schedule, drop the top 2% (they escalate),
+                # and provision the per-step MAX over the kept blocks with
+                # x1.2+1 headroom for out-of-sample variance.
                 ratio = (occg / np.maximum(base_pi[None, :], 1)).max(axis=1)
                 kth = np.quantile(ratio, 0.98)
                 kept = occg[ratio <= kth]
@@ -638,22 +666,16 @@ class MappabilityEngine:
                     [_quant4(max(P_ + 1, 1.2 * dv + 1.0)) for dv in dem],
                     np.int64,
                 )
-                tuned.append(tuple(int(x) for x in np.minimum(tp, base_pi)))
-            # only adopt a tuned schedule that cuts real work: small
-            # reductions measured SLOWER than the static schedule on the
-            # chip ((20,1): 0.76x the slot-steps ran 25% slower end-to-end;
-            # (30,2): 0.60x ran 1.9x faster) — the reshaped segments/sorts
-            # carry overhead that a <30% cut does not repay
-            ratio = max(
-                sum(tp) / max(1.0, float(
-                    infix_pool_schedule(
-                        plans, K - o, self.data.parts[pi].n_total,
-                        tiers[0].f_search / 4.0,
-                    ).sum()
-                ))
-                for pi, tp in enumerate(tuned)
-            )
-            if ratio > 0.7:
+                tp = np.minimum(tp, np.maximum(base_pi, clamp_pi))
+                tuned.append(tuple(int(x) for x in tp))
+                ratios.append(float(tp.sum()) / max(1.0, float(base_pi.sum())))
+            # adoption rule (measured on-chip): a small TIGHTENING is
+            # slower than static ((20,1): 0.76x the slot-steps ran 25%
+            # slower; (30,2): 0.60x ran 1.9x faster) — but a WIDENING
+            # (residual cohorts) always beats the guaranteed
+            # overflow-and-rerun double pass.
+            ratio = max(ratios)
+            if 0.7 < ratio <= 1.0:
                 tuned = None
                 self._tuned_pools[tuned_key] = "static"
             else:
@@ -663,6 +685,7 @@ class MappabilityEngine:
             pending = np.concatenate([pending[mask], sel[ovf]])
             if progress is not None:
                 progress.add(int((~ovf).sum()))
+            return pending, tuned
 
         # two batch-size budgets: WORK bounds per-batch device TIME (total
         # state-slot-steps — keep batches near the device's latency sweet
@@ -695,14 +718,24 @@ class MappabilityEngine:
             import math
 
             tier0 = tiers[0]
-            if tuned is not None:
-                pool_sum = max(sum(p) for p in tuned)
-                pool_max = max(max(p) for p in tuned)
-            else:
-                pools0 = infix_pool_schedule(
-                    plans, K - o, n_max, tier0.f_search / 4.0
-                )
-                pool_sum, pool_max = int(pools0.sum()), int(pools0.max())
+            pools0 = infix_pool_schedule(
+                plans, K - o, n_max, tier0.f_search / 4.0
+            )
+            # probe CUT: survivor mass only shrinks as chars are consumed,
+            # so mass==1 at any scan prefix already proves frequency 1 for
+            # the whole block; past ~log4(2n)+slack chars almost every
+            # still-undecided block is a true repeat block that the probe
+            # could never skip.  Stopping there trades a few extra residual
+            # blocks for scanning a fraction of the steps (the probe is the
+            # dominant headline term at (100,2)-class configs).
+            T_full = len(pools0)
+            probe_cut = None
+            if self._probe_cut_slack is not None:
+                cut = math.ceil(math.log(max(2, 2 * n_max), 4)) + self._probe_cut_slack
+                if T_full - cut >= 6:
+                    probe_cut = cut
+            eff = pools0 if probe_cut is None else pools0[:probe_cut]
+            pool_sum, pool_max = int(eff.sum()), int(eff.max())
             infix_cost = pool_sum // (2 if tier0.dimer else 1)
             levels = max(1, math.ceil(math.log2(max(2, J))))
             ext_cost = (J * levels * tier0.f_extend) // (2 if tier0.dimer else 1)
@@ -732,7 +765,7 @@ class MappabilityEngine:
             pruns = [
                 self._probe_runner(pi, K, errors, o, J, Bp, tier0, cap,
                                    params.rev_compl, mode=pmode,
-                                   pools=None if tuned is None else tuned[pi])
+                                   probe_cut=probe_cut)
                 for pi in range(len(self.indices))
             ]
 
@@ -754,14 +787,19 @@ class MappabilityEngine:
                             & 1
                         ).astype(bool).ravel()
                     else:
-                        mass = np.zeros(Bp, np.uint64)
+                        mass_p = np.zeros((Bp, len(plans)), np.uint64)
                         ovf = np.zeros(Bp, bool)
                         nwin = np.zeros(Bp, bool)
                         for out in outs:
-                            mass += fetch(out["mass"]).astype(np.uint64)
+                            mass_p += fetch(out["mass_p"]).astype(np.uint64)
                             ovf |= fetch(out["overflow"])
                             nwin |= fetch(out["nwin"])
-                        skip_all = (mass == 1) & ~ovf & ~nwin
+                        from genmap_tpu.search.engine import probe_thresholds
+
+                        thr = probe_thresholds(plans, K - o, probe_cut)
+                        skip_all = (
+                            (mass_p <= thr[None, :]).all(axis=1) & ~ovf & ~nwin
+                        )
                     self.stats["fetch_s"] += _time.perf_counter() - t0
                     nb = len(sel)
                     skip = skip_all[:nb]
@@ -808,6 +846,34 @@ class MappabilityEngine:
                 np.concatenate(residual) if residual else np.empty(0, np.int64)
             )
             self.stats["probe_skipped"] = done_blocks
+            if not abandoned:
+                # probe residuals are repeat-context blocks: measured on
+                # genome-like text, ~all of them far-flag the fast tier
+                # (their intervals shrink slower than the exact-prefix
+                # estimate) and rerun exact anyway — start them at the
+                # first exact tier and skip the wasted fast pass.  They
+                # also all carry infix survivor mass >= 2 by construction
+                # (mass 1 was skipped), so a 1-slot extension frontier
+                # would overflow ~every one of them into the next tier's
+                # 8x-infix-pool program (measured: 97%): give the residual
+                # tier a 4-slot extension frontier up front.
+                for j in range(1, len(tiers)):
+                    if tiers[j].exact and not tiers[j].dimer:
+                        start_tier = j
+                        # the residual's calibrated pools run wide (mean
+                        # ~14 on genome-like text) — exactly the regime
+                        # where the dimer table's 2-chars-per-gather wins;
+                        # run the cohort exact-dimer when rows exist
+                        tiers[j] = dataclasses.replace(
+                            tiers[j],
+                            f_extend=max(4, tiers[j].f_extend),
+                            dimer=self._dimer_ok,
+                        )
+                        break
+
+        # calibrate the MAIN cohort at its start tier (all blocks when no
+        # probe ran; the repeat-rich residual when it did)
+        pending, tuned = run_calibration(pending, start_tier)
 
         # tier routing: capacity-overflow blocks skip ahead to the next tier
         # whose capacities are actually LARGER than the program they just
@@ -817,7 +883,7 @@ class MappabilityEngine:
         # suffices for them.  This kills the (101,e) double-escalation
         # anomaly of round 3 (VERDICT weak #4).
         def tier_caps(i):
-            if i == 0 and tuned is not None:
+            if i == start_tier and tuned is not None:
                 return (max(sum(p) for p in tuned), tiers[i].f_extend,
                         tiers[i].f_collect)
             pools_i = infix_pool_schedule(plans, K - o, n_max,
@@ -833,9 +899,11 @@ class MappabilityEngine:
             return None
 
         def tier_B(t_j, npend):
-            cost, peak = block_cost(tiers[t_j], tuned if t_j == 0 else None)
+            cost, peak = block_cost(
+                tiers[t_j], tuned if t_j == start_tier else None
+            )
             B = max(8, min(B0, WORK // max(1, cost), SLOTS // max(1, peak)))
-            if t_j == 0:
+            if t_j == start_tier:
                 # shrink (power-of-two quantized) when few blocks remain:
                 # result fetches of a mostly-padding batch waste the
                 # bandwidth-starved device link.  Never grow past the
@@ -848,16 +916,24 @@ class MappabilityEngine:
             else:
                 # escalation tiers see run-dependent block counts; a
                 # count-derived B would make every run compile fresh
-                # programs.  Fix B to a budget-bounded constant so the
-                # persistent compile cache hits across runs and configs.
-                B = min(B, 1024)
+                # programs.  Quantize B to three budget-bounded rungs so the
+                # persistent compile cache hits across runs while large
+                # overflow cohorts (repeat-rich text flags 10-30% of blocks)
+                # don't dissolve into hundreds of tiny fetch-bound batches.
+                if npend >= 8 * 4096:
+                    rung = 16384
+                elif npend >= 2048:
+                    rung = 4096
+                else:
+                    rung = 1024
+                B = min(B, rung)
             if self.mesh is not None:
                 n = self._mesh_data
                 B = max(n, -(-B // n) * n)
             return B
 
         pending_at = [np.empty(0, np.int64) for _ in tiers]
-        pending_at[0] = np.asarray(pending, np.int64)
+        pending_at[start_tier] = np.asarray(pending, np.int64)
         unresolved = 0
         for t_i, tier in enumerate(tiers):
             pending = pending_at[t_i]
@@ -867,15 +943,17 @@ class MappabilityEngine:
             runs = self._runners_for(
                 K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed,
                 with_exact=collect_exact is not None,
-                pools_list=tuned if t_i == 0 else None,
+                pools_list=tuned if t_i == start_tier else None,
             )
             if t_i + 1 < len(tiers) and len(pending) > B and not self.part_sharded:
                 # far-flag escalations to the next exact tier are
                 # near-certain on fast tiers: compile that program in the
-                # background while this tier's batches run
+                # background while this tier's batches run (size guess: ~10%
+                # of the current cohort escalates)
                 self._warm_async(self._runners_for(
-                    K, errors, o, J, tier_B(t_i + 1, 1024), tiers[t_i + 1],
-                    cap, params.rev_compl, csv_needed,
+                    K, errors, o, J,
+                    tier_B(t_i + 1, max(1024, len(pending) // 8)),
+                    tiers[t_i + 1], cap, params.rev_compl, csv_needed,
                     with_exact=collect_exact is not None,
                 ))
             still_far: list[np.ndarray] = []
@@ -935,7 +1013,7 @@ class MappabilityEngine:
                     self.stats["max_tier"] = max(self.stats["max_tier"], t_i)
                     still_cap.append(sel[ovfc])
                     still_far.append(sel[ovf & ~ovfc])
-                    if t_i == 0 and progress is not None:
+                    if t_i == start_tier and progress is not None:
                         progress.add(len(sel))
                     if one:
                         break

@@ -147,6 +147,19 @@ def exact_prefix_steps(n_total: int, target: int = 64) -> int:
     return max(0, math.ceil(math.log(n / target, 4))) if n > target else 0
 
 
+def probe_thresholds(plans, infix_off, cut=None) -> np.ndarray:
+    """Per-plan mass thresholds for the unique-infix probe's skip test.
+
+    thr[p] = 1 for plans whose cumulative l-bound is still 0 after `cut`
+    consumed chars (the self-match survives there), else 0 (any surviving
+    row is a genuine second occurrence).  `cut=None` means the full scan.
+    """
+    _pos, _right, _u, lreq_s = _plan_schedule(plans, infix_off)
+    T = lreq_s.shape[0]
+    t = T if cut is None else max(1, min(T, int(cut)))
+    return (lreq_s[:t].max(axis=0) == 0).astype(np.uint32)
+
+
 def _compact(arrays, valid, F):
     """Keep (up to) F valid states; returns (arrays, valid, overflowed).
 
@@ -444,7 +457,7 @@ def extension_extra_estimate(plans, infix_off, n_total) -> float:
 
 def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
                   exact_steps, n_static, probe=False, pools=None,
-                  with_occ=False):  # probe: reserved
+                  with_occ=False, stop_at=None):  # probe: reserved
     """All search schemes over one flat per-block state POOL.
 
     Every state carries its plan id; per-step plan attributes (needle
@@ -475,6 +488,14 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
     P = len(plans)
     pos_s, right_s, u_s, lreq_s = _plan_schedule(plans, infix_off)
     T = len(pos_s)
+    if stop_at is not None:
+        # truncated scan (the probe's early cut): survivor MASS can only
+        # shrink as chars are consumed, so mass == 1 at any prefix already
+        # proves the block's k-mers are all frequency 1 (the sandwich
+        # argument of the unique-infix probe); stopping at ~log4(2n)+slack
+        # chars trades a few extra residual blocks for scanning a fraction
+        # of the steps
+        T = max(1, min(T, int(stop_at)))
     S = T if tier.exact else min(T, exact_steps)
     if pools is None:
         pools = infix_pool_schedule(plans, infix_off, n_static,
@@ -615,7 +636,7 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
             occs.append(ys)
         t = hi
     flo, rlo, size, err, plan, valid, ovf_cap, ovf_far = carry
-    out = ((flo, rlo, size, err, valid), ovf_cap, ovf_far)
+    out = ((flo, rlo, size, err, valid, plan), ovf_cap, ovf_far)
     if with_occ:
         occ = jnp.concatenate(occs, axis=0) if occs else jnp.zeros((0, B), _I32)
         occ = jnp.clip(occ, 0, 65535).astype(jnp.uint16)
@@ -625,7 +646,7 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
 
 def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
                         n_total, exact_steps, n_static, probe=False,
-                        pools=None, with_occ=False):
+                        pools=None, with_occ=False, stop_at=None):
     """Pooled infix search on the dimer table: ~half the gathers of the mono
     path.  Structure mirrors _search_infix (seeded prefix, per-step pool
     schedule, plan-id-carrying pooled states); steps consume 1 or 2 chars per
@@ -695,6 +716,15 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
 
     sched = _plan_schedule_fused(plans, infix_off, t_seed)
     Tf = sched.shape[1]
+    if stop_at is not None:
+        # drop fused steps none of whose consumed chars fall below the cut
+        keep = [
+            t for t in range(Tf)
+            if any(int(sched[8, t, p]) < int(stop_at) and int(sched[0, t, p]) > 0
+                   for p in range(len(plans)))
+        ]
+        Tf = (max(keep) + 1) if keep else 0
+        sched = sched[:, :Tf]
     pids = jnp.arange(P, dtype=_I32)
     # per-fused-step pool size: widest over the plans' char positions
     charidx = sched[8]  # [Tf, P]
@@ -720,9 +750,11 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
         ],
         np.int64,
     ) if Tf else np.zeros(0, np.int64)
-    # exact (two-gather) fused steps: any active plan char in the exact prefix
+    # exact (two-gather) fused steps: any active plan char in the exact
+    # prefix; an exact TIER runs every step on the exact dimer path
+    ex_lim = T if tier.exact else min(exact_steps, T)
     exact_f = np.array(
-        [bool((charidx[t] < min(exact_steps, T)).any()) for t in range(Tf)]
+        [bool((charidx[t] < ex_lim).any()) for t in range(Tf)]
     ) if Tf else np.zeros(0, bool)
 
     def body_for(exact, F, with_mono, with_pass):
@@ -818,7 +850,7 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
             occs_f.append(ys)
         t = hi
     flo, rlo, size, err, plan, valid, ovf_cap, ovf_far = carry
-    out = ((flo, rlo, size, err, valid), ovf_cap, ovf_far)
+    out = ((flo, rlo, size, err, valid, plan), ovf_cap, ovf_far)
     if with_occ:
         # map fused-step counts back to CHAR space: char c takes the max over
         # the seed row (index 0) and every fused step whose consumed span
@@ -1056,7 +1088,7 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
     slots share each step's single row gather (_candidate_step_dir).
     """
     Fe = tier.f_extend
-    s_flo, s_rlo, s_size, s_err, s_valid = survivors
+    s_flo, s_rlo, s_size, s_err, s_valid = survivors[:5]
     ovf0 = jnp.zeros((B,), bool)
 
     # compact survivors into Fe slots (root frontier = node covering [0, J))
@@ -1098,6 +1130,7 @@ def block_mapper_impl(
     index, needles, cnt, n_total, *, plans, infix_off, J, K, tier, errors,
     cap, rev_compl, with_states, exact_steps=64, n_static=None,
     probe_only=False, with_exact=False, pools=None, with_occ=False,
+    probe_cut=None,
 ):
     """One batch of the block mapper (shared by the single-part, data-sharded
     and part-sharded paths; `n_total` may be a traced scalar under the
@@ -1116,20 +1149,40 @@ def block_mapper_impl(
         index, plans, infix_off, needles, Bl, tier, n_total, exact_steps,
         n_static if n_static is not None else n_total, probe=probe_only,
         pools=pools, with_occ=with_occ,
+        stop_at=probe_cut if probe_only else None,
     )
     survivors, cap1, far1 = infix_out[:3]
     occ = infix_out[3] if with_occ else None
     ovf1 = cap1 | far1
     if probe_only:
-        # unique-infix short-circuit probe: if a block's total infix
-        # survivor mass is 1, the only candidate occurrence of EVERY k-mer
-        # is its self-match (k-mer count is sandwiched: 1 <= count <= mass),
-        # so the whole extension phase is skipped and the engine writes
-        # frequency 1 directly.  Blocks whose window contains an N (such
-        # k-mers match nothing, not even themselves) or that overflow are
-        # not skippable.
-        s_flo, s_rlo, s_size, s_err, s_valid = survivors
-        mass = jnp.where(s_valid, s_size, _U32(0)).sum(axis=-1, dtype=_U32)
+        # unique-infix short-circuit probe with PER-PLAN masses.  Sound at
+        # any scan prefix (the probe cut): every occurrence W of the
+        # infix's <=e neighborhood survives in the plan of its error
+        # pattern (the full pattern obeys that plan's l/u bounds at every
+        # step), and the self-match survives in exactly the plans whose
+        # cumulative l-bound is still 0 at the cut.  So if every
+        # self-carrying plan has mass <= 1 and every other plan has mass 0,
+        # the self-match is the only occurrence and every k-mer frequency
+        # is exactly 1 (count sandwiched between the self-match and the
+        # neighborhood mass); the whole extension phase is skipped.  Blocks
+        # whose window contains an N (such k-mers match nothing, not even
+        # themselves) or that overflow are not skippable.  Summing per-plan
+        # masses over index parts preserves the argument (the self-match
+        # lives in one part; any other part's surviving row is a real
+        # second occurrence).
+        s_flo, s_rlo, s_size, s_err, s_valid, s_plan = survivors
+        P_n = len(plans)
+        pm = (s_plan[..., None] == jnp.arange(P_n, dtype=_I32)) & s_valid[..., None]
+        mass_p = jnp.where(pm, s_size[..., None], _U32(0)).sum(
+            axis=-2, dtype=_U32
+        )  # [B, P]
+        thr = jnp.asarray(
+            probe_thresholds(
+                plans, infix_off,
+                probe_cut if probe_cut is not None else None,
+            ),
+            _U32,
+        )
         if index.has_n:
             nwin = (needles == 4).any(axis=-1)
         else:
@@ -1139,11 +1192,11 @@ def block_mapper_impl(
             # bitmap — the tunneled device link is bandwidth-starved
             # (~4 MB/s measured), so per-block uint32 outputs dominated the
             # probe wall time
-            skip = (mass == _U32(1)) & ~ovf1 & ~nwin
+            skip = (mass_p <= thr).all(axis=-1) & ~ovf1 & ~nwin
             sb = skip.reshape(-1, 32).astype(_U32)
             bits = (sb << jnp.arange(32, dtype=_U32)).sum(axis=-1, dtype=_U32)
             return dict(skip_bits=bits)
-        return dict(mass=mass, nwin=nwin, overflow=ovf1)
+        return dict(mass_p=mass_p, nwin=nwin, overflow=ovf1)
     states, cap2, far2 = _extend_to_kmers(index, survivors, needles, Bl, J, K,
                                           tier, errors)
     flo, rlo, size, err, valid = states
@@ -1209,6 +1262,7 @@ def make_block_mapper(
     with_exact: bool = False,
     pools=None,
     with_occ: bool = False,
+    probe_cut=None,
 ):
     """Build the jitted batch mapper for one configuration.
 
@@ -1251,7 +1305,7 @@ def make_block_mapper(
             J=J, K=K, tier=tier, errors=errors, cap=cap, rev_compl=rev_compl,
             with_states=with_states, exact_steps=ex_steps,
             probe_only=probe_only, with_exact=with_exact, pools=pools,
-            with_occ=with_occ,
+            with_occ=with_occ, probe_cut=probe_cut,
         )
 
     def _attach_warm(run, run_jit, batch_sharding=None):

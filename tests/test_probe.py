@@ -54,6 +54,23 @@ def test_probe_matches_full(with_n, rc):
     np.testing.assert_array_equal(rp.c, rf.c)
 
 
+def test_probe_cut_matches_full_scan():
+    """A tight probe cut (stop at log4(2n)+2 chars) only changes WHICH
+    blocks the probe can skip, never results."""
+    data = _data(seed=5)
+    K, e, o = 64, 1, 33
+    params = SearchParams(length=K, overlap=o, rev_compl=True)
+    eng_c = MappabilityEngine(data, batch_blocks=1024, dedup=False)
+    eng_c._probe_cut_slack = 2
+    eng_n = MappabilityEngine(data, batch_blocks=1024, dedup=False)
+    eng_n._probe_cut_slack = None  # full-length probe scan
+    rc_ = eng_c.compute_file(eng_c.layouts[0], params, e, 65535)
+    rn = eng_n.compute_file(eng_n.layouts[0], params, e, 65535)
+    assert eng_c.stats["probe_skipped"] > 0
+    assert eng_c.stats["probe_skipped"] <= eng_n.stats["probe_skipped"]
+    np.testing.assert_array_equal(rc_.c, rn.c)
+
+
 def test_probe_abandons_on_repeat_genome():
     data = _data(seed=9, repeat_all=True)
     K, e, o = 64, 1, 33
