@@ -136,7 +136,7 @@ def main() -> None:
     tier_exact = dataclasses.replace(
         next(t for t in eng.tiers[1:] if t.exact and not t.dimer),
         f_extend=4,
-        dimer=eng._dimer_ok,  # residual cohort runs exact-dimer (engine)
+        ext_exact=False,  # fast one-gather extension (engine residual tier)
     )
     pools_res = None
     for tk, tv in eng._tuned_pools.items():
@@ -255,6 +255,10 @@ def main() -> None:
     # on GRCh38; tests/bowtie-test.sh uses (20,1); chr21 (30,2) is the
     # BASELINE.md branch-heavy north star)
     if os.environ.get("GENMAP_BENCH_CONFIGS", "1") != "0":
+        # each config maps an 8M-kmer slice of the corpus (full-genome
+        # sweeps at 64 Mbp blow the bench budget; the slice keeps the
+        # 64 Mbp index's search depth and repeat statistics)
+        nslice = min(8_000_000, layout.length - 101)
         for Ks, Es in [(5, 0), (6, 0), (20, 1), (30, 2), (101, 0), (101, 1),
                        (101, 2), (101, 3), (101, 4)]:
             try:
@@ -265,11 +269,12 @@ def main() -> None:
                     for k in eng.stats:
                         eng.stats[k] = type(eng.stats[k])(0)
                     t0 = time.time()
-                    eng.compute_file(layout, ps, Es, 65535)
+                    eng.compute_file(layout, ps, Es, 65535,
+                                     intervals=[(0, nslice)])
                     dt = time.time() - t0
                     best = min(best, dt)
                     st = dict(eng.stats)
-                nkc = layout.length - Ks + 1
+                nkc = nslice
                 print(f"# config ({Ks},{Es}): {nkc} kmers end-to-end in "
                       f"{best:.1f}s warm -> {nkc / best:,.0f} kmers/s "
                       f"[{st['batches']} batches, dispatch {st['dispatch_s']:.1f}s, "

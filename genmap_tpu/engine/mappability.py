@@ -200,6 +200,7 @@ class MappabilityEngine:
             "overflow_blocks": 0, "max_tier": 0, "batches": 0,
             "dispatch_s": 0.0, "fetch_s": 0.0, "scatter_s": 0.0,
             "dimer_tier": False, "probe_skipped": 0,
+            "tier_blocks": {},  # blocks PROCESSED per tier index
         }
         # global sequence id -> file ordinal, for exclude-pseudo
         self.seq_file_id = np.zeros(data.nseq, dtype=np.int64)
@@ -480,6 +481,7 @@ class MappabilityEngine:
         # later compute that skips the probe must not report stale values
         self.stats["probe_skipped"] = 0
         self.stats["dimer_tier"] = False
+        self.stats["tier_blocks"] = {}
         pending = np.arange(len(starts))
         start_tier = 0  # probe residuals may start at the first exact tier
         # size batches by k-mer count, not block count, so small stepSizes
@@ -860,14 +862,15 @@ class MappabilityEngine:
                 for j in range(1, len(tiers)):
                     if tiers[j].exact and not tiers[j].dimer:
                         start_tier = j
-                        # the residual's calibrated pools run wide (mean
-                        # ~14 on genome-like text) — exactly the regime
-                        # where the dimer table's 2-chars-per-gather wins;
-                        # run the cohort exact-dimer when rows exist
+                        # exact-DIMER was measured SLOWER here (35 vs 24
+                        # us/block: exact dimer pays two gathers of heavy
+                        # rows); instead halve the EXTENSION rows — those
+                        # intervals are bounded by the survivor mass, so
+                        # the fast one-gather window virtually always fits
                         tiers[j] = dataclasses.replace(
                             tiers[j],
                             f_extend=max(4, tiers[j].f_extend),
-                            dimer=self._dimer_ok,
+                            ext_exact=False,
                         )
                         break
 
@@ -1011,6 +1014,8 @@ class MappabilityEngine:
                                 E_size[pi][s0 : s0 + cnt] = esz[bi, :cnt]
                     self.stats["overflow_blocks"] += int(ovf.sum())
                     self.stats["max_tier"] = max(self.stats["max_tier"], t_i)
+                    tb = self.stats["tier_blocks"]
+                    tb[t_i] = tb.get(t_i, 0) + len(sel)
                     still_cap.append(sel[ovfc])
                     still_far.append(sel[ovf & ~ovfc])
                     if t_i == start_tier and progress is not None:

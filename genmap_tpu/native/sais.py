@@ -26,6 +26,12 @@ def _candidate_dirs() -> list[str]:
 
 
 def _build_lib() -> str:
+    # explicit override (e.g. CI builds the library with sanitizers)
+    override = os.environ.get("GENMAP_SAIS_LIB")
+    if override:
+        if not os.path.exists(override):
+            raise RuntimeError(f"GENMAP_SAIS_LIB={override} does not exist")
+        return override
     src = os.path.join(os.path.dirname(__file__), "sais.cpp")
     errors = []
     for cache in _candidate_dirs():

@@ -56,6 +56,11 @@ class Tier:
     f_extend: int
     exact: bool = True
     dimer: bool = False
+    # extension-phase exactness override (None = follow `exact`).  Probe
+    # residual cohorts run an exact infix but a FAST one-gather extension:
+    # extension intervals are bounded by the block's survivor mass (tiny),
+    # so the fast window almost always fits and rows halve.
+    ext_exact: bool | None = None
 
 
 DEFAULT_TIERS = (
@@ -1077,6 +1082,7 @@ def _tree_levels(J: int, K: int) -> list:
 
 
 def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
+    ext_exact = tier.exact if tier.ext_exact is None else tier.ext_exact
     """Extend infix survivors to every k-mer window of each block.
 
     k-mer j covers needle positions [j, j+K); the infix covers [J-1, K).
@@ -1115,12 +1121,12 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
                 # two-gather dimer path so wide intervals compute instead of
                 # far-flagging with no tier left to escalate to
                 state = _ext_phase_fused(index, state, needles, sched, Fe,
-                                         errors, exact=tier.exact)
+                                         errors, exact=ext_exact)
         else:
             pos, right, act = _balanced_schedule(n_right, n_left, pos_right, pos_left)
             if len(pos):
                 state = _ext_phase(index, state, needles, pos, right, act, Fe,
-                                   errors, tier.exact)
+                                   errors, ext_exact)
 
     flo, rlo, size, err, valid, ovf_cap, ovf_far = state
     return (flo, rlo, size, err, valid), ovf_cap, ovf_far
