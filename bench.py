@@ -107,22 +107,40 @@ def main() -> None:
     J = K - o + 1
     params_h = SearchParams(length=K, overlap=o, rev_compl=True)
 
+    # benchmark sub-layout: an 8-Mbp prefix VIEW of the corpus treated as a
+    # file of its own (keeps the 64 Mbp index's search depth and repeat
+    # statistics while bounding per-config wall; unlike a BED interval this
+    # keeps dedup + probe fully engaged)
+    L_s = min(8_000_000 + K, layout.length)
+    import dataclasses as _dc
+
+    layout_s = _dc.replace(
+        layout,
+        chrom_lens=np.array([L_s], np.int64),
+        cum_lens=np.array([0, L_s], np.int64),
+        length=L_s,
+    )
+
     # ---- engine end-to-end first: this also runs the occupancy calibration,
     # so the steady-state programs below use the tuned pool schedules the
-    # production path uses
-    nk_h = layout.length - K + 1
+    # production path uses.  An 8M-kmer slice keeps the full index's search
+    # depth and repeat statistics within the bench budget (the full-genome
+    # 64M-kmer run is ~10x the wall with identical per-kmer behavior).
+    nk_h = L_s - K + 1
+    eng._record_tier_sel = True  # record per-tier cohorts for tier replay
     for rep in range(2):
         for k in eng.stats:
-            eng.stats[k] = type(eng.stats[k])(0)
+            eng.stats[k] = type(eng.stats[k])()
         t0 = time.time()
-        eng.compute_file(layout, params_h, errors, 65535)
+        eng.compute_file(layout_s, params_h, errors, 65535)
         dt = time.time() - t0
         st = eng.stats
         print(f"# engine (100,2) run {rep}: {nk_h} kmers end-to-end in "
               f"{dt:.2f}s ({nk_h/dt:,.0f} kmers/s) "
               f"[probe_skipped {st['probe_skipped']} blocks, "
               f"ovf {st['overflow_blocks']}, dispatch {st['dispatch_s']:.1f}s, "
-              f"fetch {st['fetch_s']:.1f}s]", file=sys.stderr)
+              f"fetch {st['fetch_s']:.1f}s, tiers "
+              f"{dict(sorted(st['tier_blocks'].items()))}]", file=sys.stderr)
 
     import dataclasses
     import math
@@ -142,8 +160,6 @@ def main() -> None:
     for tk, tv in eng._tuned_pools.items():
         if tk[:3] == (K, errors, o) and isinstance(tv, list) and tk[-1] >= 1:
             pools_res = tv[0]
-    run = eng._runner(0, K, errors, o, J, B, tier_exact, 65535, True, False,
-                      pools=pools_res)
     # probe with the engine's scan cut (mass==1 at any prefix proves the
     # block; see engine/mappability.py)
     n_tot = data.parts[0].n_total
@@ -194,29 +210,40 @@ def main() -> None:
     print(f"# probe scan: {NB * B} blocks in {t_probe:.2f}s, "
           f"skip {skip_frac:.4f}", file=sys.stderr)
 
-    # ---- full pipeline on the RESIDUAL blocks (the probe's non-skips) -----
-    skip_bool = np.zeros(NB * B, bool)
-    for i in range(NB):
-        skip_bool[i * B : (i + 1) * B] = (
-            (bits[i, :, None] >> np.arange(32, dtype=np.uint32)) & 1
-        ).astype(bool).ravel()
-    res_starts = starts_all[1:].ravel()[~skip_bool]
-    n_res = len(res_starts)
-    if n_res == 0:
-        t_res = 0.0
-        rate_res = float("inf")
-    else:
-        NBr = max(1, -(-n_res // B))
-        pad = NBr * B - n_res
+    # ---- tier replay: every escalation tier's cohort, measured in-graph ---
+    # The engine recorded WHICH blocks it processed at each tier during the
+    # warm end-to-end run; replaying each cohort at its tier (same pools)
+    # gives the honest steady-state cost of the full escalation cascade —
+    # measuring only the first residual tier would unbill the repeat-family
+    # tail, which dominates device work on genome-like text.
+    tier_sel = eng.stats.get("tier_sel", {})
+    pools_by_tier = {1: pools_res}
+    tiers_by_idx = {
+        j: (tier_exact if j == 1 else eng.tiers[j]) for j in tier_sel
+    }
+    t_res = 0.0
+    res_blocks_tot = 0
+    for t_i in sorted(tier_sel):
+        ids = np.concatenate(tier_sel[t_i])
+        n_res = len(ids)
+        res_blocks_tot = max(res_blocks_tot, 0) + (n_res if t_i == 1 else 0)
+        res_starts = (layout_s.start + ids * J).astype(np.uint32)
+        tier_c = tiers_by_idx[t_i]
+        pools_c = pools_by_tier.get(t_i)
+        Bc = min(4096, max(64, 1 << int(np.ceil(np.log2(max(2, n_res))))))
+        NBr = max(1, -(-n_res // Bc))
+        pad = NBr * Bc - n_res
         res_all = np.concatenate(
             [res_starts, np.zeros(pad, np.uint32)]
-        ).reshape(NBr, B)
-        res_cnts = np.full((NBr, B), J, np.int32)
+        ).reshape(NBr, Bc)
+        res_cnts = np.full((NBr, Bc), J, np.int32)
+        run_c = eng._runner(0, K, errors, o, J, Bc, tier_c, 65535, True,
+                            False, pools=pools_c)
 
-        def many_full(starts, cnts):
+        def many_full(starts, cnts, run_c=run_c):
             def step(acc, x):
                 st, ct = x
-                out = run(st, ct, limit)
+                out = run_c(st, ct, limit)
                 return (
                     acc + out["hits"].sum(dtype=jnp.uint32)
                     + out["overflow"].sum(dtype=jnp.uint32),
@@ -230,18 +257,23 @@ def main() -> None:
         dr = jax.device_put(res_all)
         dc = jax.device_put(res_cnts)
         t0 = time.time()
-        w = int(full_jit(dr, dc))
-        print(f"# residual compile+warmup: {time.time() - t0:.1f}s "
-              f"(checksum {w})", file=sys.stderr)
-        t_res = float("inf")
+        int(full_jit(dr, dc))
+        t_compile = time.time() - t0
+        tc = float("inf")
         for rep in range(3):
             t0 = time.time()
             int(full_jit(dr, dc))
-            t_res = min(t_res, time.time() - t0)
-        t_res *= n_res / (NBr * B)  # padded share
-        rate_res = n_res * J / max(t_res, 1e-9)
-        print(f"# residual exact tier: {n_res} blocks ({n_res * J} kmers) "
-              f"in {t_res:.2f}s -> {rate_res:,.0f} kmers/s", file=sys.stderr)
+            tc = min(tc, time.time() - t0)
+        tc *= n_res / (NBr * Bc)  # padded share
+        t_res += tc
+        print(f"# tier {t_i} replay: {n_res} blocks in {tc:.2f}s "
+              f"({n_res * J / max(tc, 1e-9):,.0f} kmers/s; compile+warm "
+              f"{t_compile:.0f}s)", file=sys.stderr)
+    # the e2e slice and the probe batch cover the same corpus prefix, so the
+    # per-kmer tier mix transfers; scale tier time to the probe's k-mer count
+    t_res *= kmers / max(1, nk_h)
+    print(f"# escalation cascade total (scaled to {kmers} kmers): "
+          f"{t_res:.2f}s", file=sys.stderr)
 
     t_eff = t_probe + t_res
     rate = kmers / t_eff
@@ -255,10 +287,10 @@ def main() -> None:
     # on GRCh38; tests/bowtie-test.sh uses (20,1); chr21 (30,2) is the
     # BASELINE.md branch-heavy north star)
     if os.environ.get("GENMAP_BENCH_CONFIGS", "1") != "0":
-        # each config maps an 8M-kmer slice of the corpus (full-genome
-        # sweeps at 64 Mbp blow the bench budget; the slice keeps the
-        # 64 Mbp index's search depth and repeat statistics)
-        nslice = min(8_000_000, layout.length - 101)
+        # each config maps the 8-Mbp sub-layout (full-genome sweeps at
+        # 64 Mbp blow the bench budget; the sub-layout keeps the 64 Mbp
+        # index's search depth and repeat statistics, with dedup + probe
+        # fully engaged)
         for Ks, Es in [(5, 0), (6, 0), (20, 1), (30, 2), (101, 0), (101, 1),
                        (101, 2), (101, 3), (101, 4)]:
             try:
@@ -267,14 +299,13 @@ def main() -> None:
                 best = float("inf")
                 for rep in range(2):
                     for k in eng.stats:
-                        eng.stats[k] = type(eng.stats[k])(0)
+                        eng.stats[k] = type(eng.stats[k])()
                     t0 = time.time()
-                    eng.compute_file(layout, ps, Es, 65535,
-                                     intervals=[(0, nslice)])
+                    eng.compute_file(layout_s, ps, Es, 65535)
                     dt = time.time() - t0
                     best = min(best, dt)
                     st = dict(eng.stats)
-                nkc = nslice
+                nkc = L_s - Ks + 1
                 print(f"# config ({Ks},{Es}): {nkc} kmers end-to-end in "
                       f"{best:.1f}s warm -> {nkc / best:,.0f} kmers/s "
                       f"[{st['batches']} batches, dispatch {st['dispatch_s']:.1f}s, "

@@ -184,6 +184,8 @@ class MappabilityEngine:
         self._probe_cut_slack = 14
         self._tuned_pools: dict = {}
         self._warm_executor = None  # lazy single-thread AOT-compile worker
+        # opt-in: record the block ids processed per tier (bench replay)
+        self._record_tier_sel = False
         self.tiers = tiers
         self._runners: dict = {}
         self._locate_fns = [
@@ -1016,6 +1018,10 @@ class MappabilityEngine:
                     self.stats["max_tier"] = max(self.stats["max_tier"], t_i)
                     tb = self.stats["tier_blocks"]
                     tb[t_i] = tb.get(t_i, 0) + len(sel)
+                    if self._record_tier_sel:
+                        self.stats.setdefault("tier_sel", {}).setdefault(
+                            t_i, []
+                        ).append(sel)
                     still_cap.append(sel[ovfc])
                     still_far.append(sel[ovf & ~ovfc])
                     if t_i == start_tier and progress is not None:
