@@ -217,7 +217,11 @@ def main() -> None:
     # measuring only the first residual tier would unbill the repeat-family
     # tail, which dominates device work on genome-like text.
     tier_sel = eng.stats.get("tier_sel", {})
-    pools_by_tier = {1: pools_res}
+    pools_by_tier = {
+        tk[-1]: tv[0]
+        for tk, tv in eng._tuned_pools.items()
+        if tk[:3] == (K, errors, o) and isinstance(tv, list)
+    }
     tiers_by_idx = {
         j: (tier_exact if j == 1 else eng.tiers[j]) for j in tier_sel
     }

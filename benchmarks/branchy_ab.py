@@ -67,13 +67,13 @@ def main():
             nk = layout.length - Ks + 1
             for rep in range(2):
                 for k in eng.stats:
-                    eng.stats[k] = type(eng.stats[k])(0)
+                    eng.stats[k] = type(eng.stats[k])()
                 t0 = time.time()
                 eng.compute_file(layout, ps, Es, 65535)
                 dt = time.time() - t0
                 st = eng.stats
                 tk = eng._tuned_pools
-                tuned_sum = [sum(p) for pp in tk.values() for p in pp]
+                tuned_sum = [sum(p) for pp in tk.values() if isinstance(pp, list) for p in pp]
                 print(
                     f"# cal={mode} ({Ks},{Es}) rep{rep}: {nk} kmers in {dt:.1f}s"
                     f" -> {nk/dt:,.0f} kmers/s [batches {st['batches']},"

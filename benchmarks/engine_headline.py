@@ -44,7 +44,7 @@ def main():
 
     for rep in range(reps):
         for k in eng.stats:
-            eng.stats[k] = type(eng.stats[k])(0)
+            eng.stats[k] = type(eng.stats[k])()
         t0 = time.time()
         eng.compute_file(layout, params, errors, 65535)
         dt = time.time() - t0

@@ -590,7 +590,6 @@ class MappabilityEngine:
                 and collect_exact is None
                 and not csv_needed
                 and int(base0.sum()) >= 96
-                and len(pending) >= 3 * B_cal
             ):
                 return pending, None
             import time as _time
@@ -598,12 +597,42 @@ class MappabilityEngine:
             from genmap_tpu.parallel.dist import fetch
             from genmap_tpu.search.engine import _quant4
 
+            # measure on an 8x-wider variant of the tier where memory
+            # allows: occupancy counts are capacity-CLIPPED by the
+            # measuring program's own pools (candidates = fanout x pool),
+            # so a static-pool measurement cannot see demand beyond 4x
+            # static — which is exactly where repeat-heavy cohorts live at
+            # genome scale.  Deep tiers whose 8x schedule would not fit a
+            # 256-block batch measure at their own scale instead (their 4x
+            # fan-out clip is already far out).
+            meas_tier = dataclasses.replace(
+                cal_tier, f_search=cal_tier.f_search * 8
+            )
+            peak8 = int(
+                infix_pool_schedule(
+                    plans, K - o, n_max, meas_tier.f_search / 4.0
+                ).max()
+            )
+            if (3 << 20) // max(1, peak8) >= 256:
+                B_cal = min(B_cal, (3 << 20) // max(1, peak8))
+            else:
+                meas_tier = cal_tier
+                peak_own = int(
+                    infix_pool_schedule(
+                        plans, K - o, n_max, cal_tier.f_search / 4.0
+                    ).max()
+                )
+                B_cal = min(B_cal, max(64, (3 << 20) // max(1, peak_own)))
+            if self.mesh is not None:
+                B_cal = -(-B_cal // self._mesh_data) * self._mesh_data
+            if len(pending) < 3 * B_cal:
+                return pending, None
             idx = np.unique(
                 np.linspace(0, len(pending) - 1, B_cal).astype(np.int64)
             )
             sel = pending[idx]
             runs_cal = self._runners_for(
-                K, errors, o, J, B_cal, cal_tier, cap, params.rev_compl,
+                K, errors, o, J, B_cal, meas_tier, cap, params.rev_compl,
                 False, with_occ=True,
             )
             t0 = _time.perf_counter()
@@ -639,7 +668,11 @@ class MappabilityEngine:
             ratios = []
             for pi, out in enumerate(outs):
                 occ = out["occ"][: len(sel)].astype(np.int64)  # [nb, T]
-                occg = occ[~ovf] if (~ovf).any() else occ
+                # include OVERFLOWING blocks: excluding them hides exactly
+                # the heavy cohort the pools must be provisioned for
+                # (measured r4: a non-representative sample rejected tuning
+                # while 26% of (20,1) blocks cap-overflowed static pools)
+                occg = occ
                 base_pi = infix_pool_schedule(
                     plans, K - o, self.data.parts[pi].n_total,
                     cal_tier.f_search / 4.0,
@@ -903,9 +936,11 @@ class MappabilityEngine:
                     return j
             return None
 
-        def tier_B(t_j, npend):
+        def tier_B(t_j, npend, pools_over=None):
             cost, peak = block_cost(
-                tiers[t_j], tuned if t_j == start_tier else None
+                tiers[t_j],
+                pools_over if pools_over is not None
+                else (tuned if t_j == start_tier else None),
             )
             B = max(8, min(B0, WORK // max(1, cost), SLOTS // max(1, peak)))
             if t_j == start_tier:
@@ -944,11 +979,21 @@ class MappabilityEngine:
             pending = pending_at[t_i]
             if len(pending) == 0:
                 continue
-            B = tier_B(t_i, len(pending))
+            if t_i == start_tier:
+                tuned_i = tuned
+            else:
+                # escalation cohorts get their own occupancy calibration:
+                # the static deep-tier schedules over-provision the heavy
+                # cohorts severalfold (cached per config+tier)
+                pending, tuned_i = run_calibration(pending, t_i)
+                pending_at[t_i] = pending
+                if len(pending) == 0:
+                    continue
+            B = tier_B(t_i, len(pending), pools_over=tuned_i)
             runs = self._runners_for(
                 K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed,
                 with_exact=collect_exact is not None,
-                pools_list=tuned if t_i == start_tier else None,
+                pools_list=tuned_i,
             )
             if t_i + 1 < len(tiers) and len(pending) > B and not self.part_sharded:
                 # far-flag escalations to the next exact tier are
