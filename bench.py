@@ -151,15 +151,6 @@ def main() -> None:
     # pools (probe residuals far-flag the fast tier and overflow a 1-slot
     # extension on genome-like text; measuring them at tier 0 would
     # undercount)
-    tier_exact = dataclasses.replace(
-        next(t for t in eng.tiers[1:] if t.exact and not t.dimer),
-        f_extend=4,
-        ext_exact=False,  # fast one-gather extension (engine residual tier)
-    )
-    pools_res = None
-    for tk, tv in eng._tuned_pools.items():
-        if tk[:3] == (K, errors, o) and isinstance(tv, list) and tk[-1] >= 1:
-            pools_res = tv[0]
     # probe with the engine's scan cut (mass==1 at any prefix proves the
     # block; see engine/mappability.py)
     n_tot = data.parts[0].n_total
@@ -217,13 +208,26 @@ def main() -> None:
     # measuring only the first residual tier would unbill the repeat-family
     # tail, which dominates device work on genome-like text.
     tier_sel = eng.stats.get("tier_sel", {})
-    pools_by_tier = {
-        tk[-1]: tv[0]
-        for tk, tv in eng._tuned_pools.items()
-        if tk[:3] == (K, errors, o) and isinstance(tv, list)
-    }
+    # mirror the engine's calibrated per-cohort pools and f_extend
+    pools_by_tier = {}
+    fe_by_tier = {}
+    for tk, tv in eng._tuned_pools.items():
+        if tk[:3] == (K, errors, o) and isinstance(tv, tuple):
+            pe, fe = tv
+            if isinstance(pe, list):
+                pools_by_tier[tk[-1]] = pe[0]
+            if fe:
+                fe_by_tier[tk[-1]] = fe
+    tier_res = dataclasses.replace(
+        next(t for t in eng.tiers[1:] if t.exact and not t.dimer),
+        f_extend=fe_by_tier.get(1, 4),
+        ext_exact=False,  # fast one-gather extension (engine residual tier)
+    )
     tiers_by_idx = {
-        j: (tier_exact if j == 1 else eng.tiers[j]) for j in tier_sel
+        j: (tier_res if j == 1 else dataclasses.replace(
+            eng.tiers[j], f_extend=fe_by_tier.get(j, eng.tiers[j].f_extend)
+        ))
+        for j in tier_sel
     }
     t_res = 0.0
     res_blocks_tot = 0

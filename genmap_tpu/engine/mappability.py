@@ -576,8 +576,9 @@ class MappabilityEngine:
                 "absent" if self.part_sharded
                 else self._tuned_pools.get(tuned_key, "absent")
             )
-            if isinstance(entry, list):
-                return pending, entry
+            if isinstance(entry, tuple):
+                pools_e, fe_e = entry
+                return pending, (pools_e if isinstance(pools_e, list) else None), fe_e
             base0 = infix_pool_schedule(plans, K - o, n_max,
                                         cal_tier.f_search / 4.0)
             B_cal = self._cal_batch
@@ -591,7 +592,7 @@ class MappabilityEngine:
                 and not csv_needed
                 and int(base0.sum()) >= 96
             ):
-                return pending, None
+                return pending, None, None
             import time as _time
 
             from genmap_tpu.parallel.dist import fetch
@@ -613,20 +614,18 @@ class MappabilityEngine:
                     plans, K - o, n_max, meas_tier.f_search / 4.0
                 ).max()
             )
-            if (3 << 20) // max(1, peak8) >= 256:
-                B_cal = min(B_cal, (3 << 20) // max(1, peak8))
-            else:
+            if (3 << 20) // max(1, peak8) < 256:
                 meas_tier = cal_tier
-                peak_own = int(
-                    infix_pool_schedule(
-                        plans, K - o, n_max, cal_tier.f_search / 4.0
-                    ).max()
-                )
-                B_cal = min(B_cal, max(64, (3 << 20) // max(1, peak_own)))
+            # bound the calibration batch by the measuring tier's FULL peak
+            # (infix pool AND the J x f_extend extension frontier — at deep
+            # tiers the extension gather tensors dominate; an infix-only
+            # bound OOMed the chip at tier 4)
+            _, peak_meas = block_cost(meas_tier)
+            B_cal = min(B_cal, max(64, (1 << 20) // max(1, peak_meas)))
             if self.mesh is not None:
                 B_cal = -(-B_cal // self._mesh_data) * self._mesh_data
             if len(pending) < 3 * B_cal:
-                return pending, None
+                return pending, None, None
             idx = np.unique(
                 np.linspace(0, len(pending) - 1, B_cal).astype(np.int64)
             )
@@ -714,15 +713,32 @@ class MappabilityEngine:
             ratio = max(ratios)
             if 0.7 < ratio <= 1.0:
                 tuned = None
-                self._tuned_pools[tuned_key] = "static"
-            else:
-                self._tuned_pools[tuned_key] = tuned
+            # extension-frontier calibration: the infix survivor count is
+            # the extension tree's root demand, and the STATIC per-tier
+            # f_extend is the cascade's real binding constraint on
+            # genome-like cohorts (84% of the tier-2 cohort re-overflowed
+            # on extension with wide infix pools, r4).  Tune it to the
+            # sample's 98th percentile in both directions, clamped to
+            # [2, 8x static].
+            surv = np.zeros(len(sel), np.int64)
+            for out in outs:
+                surv = np.maximum(surv, out["surv"][: len(sel)].astype(np.int64))
+            # p90, not p98: the top decile re-runs on the (also
+            # calibrated, hence cheap) next cohort instead of the whole
+            # bulk paying a heavy-tailed extension frontier
+            fe = int(np.clip(
+                _quant4(1.2 * float(np.quantile(surv, 0.90)) + 1.0),
+                2, 8 * max(1, cal_tier.f_extend),
+            ))
+            if fe == cal_tier.f_extend:
+                fe = None
+            self._tuned_pools[tuned_key] = (tuned if tuned else "static", fe)
             mask = np.ones(len(pending), bool)
             mask[idx] = False
             pending = np.concatenate([pending[mask], sel[ovf]])
             if progress is not None:
                 progress.add(int((~ovf).sum()))
-            return pending, tuned
+            return pending, tuned, fe
 
         # two batch-size budgets: WORK bounds per-batch device TIME (total
         # state-slot-steps — keep batches near the device's latency sweet
@@ -911,7 +927,14 @@ class MappabilityEngine:
 
         # calibrate the MAIN cohort at its start tier (all blocks when no
         # probe ran; the repeat-rich residual when it did)
-        pending, tuned = run_calibration(pending, start_tier)
+        pending, tuned, fe0 = run_calibration(pending, start_tier)
+        # f_extend tuning only pays on the probe-residual path (measured:
+        # +15% at (100,2); bulk non-probe cohorts regressed 33% at (20,1)
+        # when their huge tier-0 cohort was given a p90-wide extension)
+        if fe0 and start_tier > 0:
+            tiers[start_tier] = dataclasses.replace(
+                tiers[start_tier], f_extend=fe0
+            )
 
         # tier routing: capacity-overflow blocks skip ahead to the next tier
         # whose capacities are actually LARGER than the program they just
@@ -985,8 +1008,13 @@ class MappabilityEngine:
                 # escalation cohorts get their own occupancy calibration:
                 # the static deep-tier schedules over-provision the heavy
                 # cohorts severalfold (cached per config+tier)
-                pending, tuned_i = run_calibration(pending, t_i)
+                pending, tuned_i, fe_i = run_calibration(pending, t_i)
                 pending_at[t_i] = pending
+                if fe_i and start_tier > 0:
+                    tiers[t_i] = dataclasses.replace(
+                        tiers[t_i], f_extend=fe_i
+                    )
+                    tier = tiers[t_i]
                 if len(pending) == 0:
                     continue
             B = tier_B(t_i, len(pending), pools_over=tuned_i)

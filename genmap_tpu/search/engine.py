@@ -1233,6 +1233,12 @@ def block_mapper_impl(
     )
     if with_occ:
         out["occ"] = occ.T  # [B, T] for batch-axis sharding
+        # infix survivor count: the extension frontier's demand (the root
+        # node holds all survivors; splits never exceed it) — calibrates
+        # the cohort's f_extend
+        out["surv"] = jnp.clip(
+            survivors[4].sum(axis=-1, dtype=_I32), 0, 65535
+        ).astype(jnp.uint16)
     if with_exact or with_states:
         exact_mask = valid & (err == 0)
         exact_total = jnp.where(exact_mask, size, 0).sum(axis=-1, dtype=_U32)

@@ -56,20 +56,25 @@ def test_calibrated_matches_uncalibrated(ke):
     res = eng.compute_file(eng.layouts[0], params, errors=e, cap=65535)
     tuned_keys = [k for k in eng._tuned_pools if k[:3] == (K, e, o)]
     assert tuned_keys, "calibration did not run"
-    tuned = eng._tuned_pools[tuned_keys[0]]
+    tuned, fe = eng._tuned_pools[tuned_keys[0]]
     np.testing.assert_array_equal(res.c, res_ref.c)
 
-    # tuned pools must never exceed the static schedule and a rerun reuses
-    # the cached calibration (no second calibration batch).  A "static"
-    # entry means calibration ran but the reduction was too small to adopt.
+    # tuned pools must never exceed the next tier's scale (8x static) and a
+    # rerun reuses the cached calibration (no second calibration batch).  A
+    # "static" entry means calibration ran but no pool change was adopted.
     from genmap_tpu.search.engine import infix_pool_schedule
     from genmap_tpu.search.schemes import plans_for
 
     if isinstance(tuned, list):
         for pi, tp in enumerate(tuned):
-            base = infix_pool_schedule(
+            base8 = infix_pool_schedule(
+                plans_for(e, o), K - o, data.parts[pi].n_total, 8.0
+            )
+            base1 = infix_pool_schedule(
                 plans_for(e, o), K - o, data.parts[pi].n_total, 1.0
             )
-            assert all(a <= b for a, b in zip(tp, base))
+            assert all(a <= max(b, c) for a, b, c in zip(tp, base1, base8))
+    if fe is not None:
+        assert 2 <= fe <= 8 * 16384
     res2 = eng.compute_file(eng.layouts[0], params, errors=e, cap=65535)
     np.testing.assert_array_equal(res2.c, res_ref.c)
