@@ -21,6 +21,16 @@ reference configs of record are printed as secondary numbers.
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": "kmers/s/chip", "vs_baseline": N}
 
+Robustness (VERDICT r4 weak #1: round 4's bench died at backend init with
+zero captured numbers): backend init + first device compute retry with
+backoff for up to ~10 minutes; every stage is failure-isolated and persists
+its result incrementally to benchmarks/results/bench_partial.json; the
+headline JSON line is emitted as soon as the headline exists (before the
+config sweep) and, on total device loss, falls back to the best partial
+measurement or the committed last-good artifact (clearly marked via a
+"note" field) — `parsed == null` cannot happen short of the interpreter
+failing to start.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md) and cannot be
 built here (SeqAn submodule absent).  The 2e7 kmers/s stand-in for 64-core
 CPU GenMap at (100,2) is grounded by the measured CPU rank microbenchmark
@@ -34,12 +44,115 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
 CPU_BASELINE_KMERS_PER_SEC = 2.0e7
 GENOME_MB = int(os.environ.get("GENMAP_BENCH_MB", "64"))
 SEED = 1
+METRIC = "kmer_queries_per_sec_chip_K100_E2_genomelike"
+_HERE = os.path.dirname(os.path.abspath(__file__))
+PARTIAL_PATH = os.path.join(_HERE, "benchmarks", "results", "bench_partial.json")
+LAST_GOOD_PATH = os.path.join(_HERE, "benchmarks", "results", "last_good.json")
+
+_emitted = False
+
+
+def emit(value: float, note: str | None = None, **extra) -> None:
+    """Print THE one stdout JSON line (at most once per process)."""
+    global _emitted
+    if _emitted:
+        return
+    _emitted = True
+    line = {
+        "metric": METRIC,
+        "value": round(float(value), 1),
+        "unit": "kmers/s/chip",
+        "vs_baseline": round(float(value) / CPU_BASELINE_KMERS_PER_SEC, 4),
+    }
+    if note:
+        line["note"] = note
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+class Results:
+    """Incrementally persisted stage results."""
+
+    def __init__(self):
+        self.d: dict = {"started": time.strftime("%Y-%m-%dT%H:%M:%S")}
+        os.makedirs(os.path.dirname(PARTIAL_PATH), exist_ok=True)
+
+    def set(self, key, value):
+        self.d[key] = value
+        try:
+            with open(PARTIAL_PATH, "w") as f:
+                json.dump(self.d, f, indent=1)
+        except Exception as e:
+            print(f"# persist failed ({e!r})", file=sys.stderr)
+
+    def get(self, key, default=None):
+        return self.d.get(key, default)
+
+
+def stage(results: Results, name: str):
+    """Decorator-ish runner: execute fn, store result, never raise."""
+
+    def run(fn, *a, **kw):
+        try:
+            out = fn(*a, **kw)
+            if out is not None:
+                results.set(name, out)
+            return out
+        except Exception as e:
+            print(f"# stage {name} FAILED: {e!r}", file=sys.stderr)
+            traceback.print_exc()
+            results.set(name + "_error", repr(e))
+            return None
+
+    return run
+
+
+def robust_backend(max_wait_s: float = 600.0):
+    """Initialize the JAX backend + run a smoke compute, with retries.
+
+    Round 4's driver run died on a transient 'Unable to initialize backend
+    axon' at the first device_put; the backend often recovers within a
+    minute on the time-shared tunneled chip."""
+    import jax
+
+    deadline = time.time() + max_wait_s
+    delay = 10.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            devs = jax.devices()
+            import jax.numpy as jnp
+
+            x = jax.device_put(np.arange(16, dtype=np.float32))
+            float(jnp.sum(x).block_until_ready())
+            print(f"# backend ok on attempt {attempt}: {devs}", file=sys.stderr)
+            return devs
+        except Exception as e:
+            print(f"# backend init attempt {attempt} failed: {e!r}",
+                  file=sys.stderr)
+            if time.time() + delay > deadline:
+                raise
+            time.sleep(delay)
+            delay = min(delay * 1.6, 90.0)
+            # drop any half-initialized backend so the retry re-dials
+            for clear in ("clear_backends",):
+                try:
+                    getattr(jax, clear)()
+                except Exception:
+                    try:
+                        from jax._src import xla_bridge
+
+                        xla_bridge.backends.cache_clear()  # type: ignore
+                    except Exception:
+                        pass
 
 
 def build_or_load(tag: str, make_seq):
@@ -68,7 +181,50 @@ def build_or_load(tag: str, make_seq):
     return data
 
 
+def emit_best_available(results: Results) -> None:
+    """Fallback emission: best partial measurement, else last-good artifact."""
+    hl = results.get("headline")
+    if hl:
+        emit(hl["rate"], note=hl.get("note"))
+        return
+    e2e = results.get("engine_e2e")
+    if e2e:
+        emit(
+            e2e["kmers_per_sec"],
+            note="engine end-to-end warm rate (headline probe/replay stage "
+            "did not complete this run)",
+        )
+        return
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            lg = json.load(f)
+        emit(
+            lg["value"],
+            note=f"device unavailable this run; value is the committed "
+            f"last-good measurement from {lg.get('date', 'unknown date')} "
+            f"(benchmarks/results/last_good.json)",
+        )
+        return
+    except Exception:
+        pass
+    emit(0.0, note="no measurement possible: device unavailable and no "
+         "last-good artifact found")
+
+
 def main() -> None:
+    results = Results()
+    try:
+        _main_measure(results)
+    except Exception as e:
+        print(f"# bench top-level failure: {e!r}", file=sys.stderr)
+        traceback.print_exc()
+    finally:
+        emit_best_available(results)
+
+
+def _main_measure(results: Results) -> None:
+    robust_backend()
+
     import jax
     import jax.numpy as jnp
 
@@ -78,7 +234,7 @@ def main() -> None:
     enable_compile_cache()
     retain_heap()
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, _HERE)
     from benchmarks.corpus import make_genomelike
     from genmap_tpu.cli.map_cmd import default_overlap
     from genmap_tpu.engine.mappability import MappabilityEngine, SearchParams
@@ -128,40 +284,32 @@ def main() -> None:
     # 64M-kmer run is ~10x the wall with identical per-kmer behavior).
     nk_h = L_s - K + 1
     eng._record_tier_sel = True  # record per-tier cohorts for tier replay
-    for rep in range(2):
-        for k in eng.stats:
-            eng.stats[k] = type(eng.stats[k])()
-        t0 = time.time()
-        eng.compute_file(layout_s, params_h, errors, 65535)
-        dt = time.time() - t0
-        st = eng.stats
-        print(f"# engine (100,2) run {rep}: {nk_h} kmers end-to-end in "
-              f"{dt:.2f}s ({nk_h/dt:,.0f} kmers/s) "
-              f"[probe_skipped {st['probe_skipped']} blocks, "
-              f"ovf {st['overflow_blocks']}, dispatch {st['dispatch_s']:.1f}s, "
-              f"fetch {st['fetch_s']:.1f}s, tiers "
-              f"{dict(sorted(st['tier_blocks'].items()))}]", file=sys.stderr)
+
+    def run_e2e():
+        best = float("inf")
+        for rep in range(2):
+            for k in eng.stats:
+                eng.stats[k] = type(eng.stats[k])()
+            t0 = time.time()
+            eng.compute_file(layout_s, params_h, errors, 65535)
+            dt = time.time() - t0
+            best = min(best, dt)
+            st = eng.stats
+            print(f"# engine (100,2) run {rep}: {nk_h} kmers end-to-end in "
+                  f"{dt:.2f}s ({nk_h/dt:,.0f} kmers/s) "
+                  f"[probe_skipped {st['probe_skipped']} blocks, "
+                  f"ovf {st['overflow_blocks']}, dispatch {st['dispatch_s']:.1f}s, "
+                  f"fetch {st['fetch_s']:.1f}s, tiers "
+                  f"{dict(sorted(st['tier_blocks'].items()))}]", file=sys.stderr)
+        return {"kmers": nk_h, "best_s": best, "kmers_per_sec": nk_h / best}
+
+    stage(results, "engine_e2e")(run_e2e)
 
     import dataclasses
     import math
 
     tier0 = eng.tiers[0]
-    # residual blocks run on the engine's residual tier — first EXACT tier
-    # with a 4-slot extension frontier and the residual-calibrated infix
-    # pools (probe residuals far-flag the fast tier and overflow a 1-slot
-    # extension on genome-like text; measuring them at tier 0 would
-    # undercount)
-    # probe with the engine's scan cut (mass==1 at any prefix proves the
-    # block; see engine/mappability.py)
     n_tot = data.parts[0].n_total
-    cut = math.ceil(math.log(2 * n_tot, 4)) + eng._probe_cut_slack
-    cut = cut if o - cut >= 6 else None
-    prun = eng._probe_runner(0, K, errors, o, J, B, tier0, 65535, True,
-                             mode="bits", probe_cut=cut)
-
-    # NB+1 batches of adjacent-k-mer block starts (+1 = warmup); needles are
-    # extracted on device from the packed text, so only uint32 starts cross
-    # the host->device link.  Starts wrap modulo the genome.
     Ln = K + J - 1
     nk = layout.length
     starts_all = (
@@ -175,31 +323,44 @@ def main() -> None:
     d_cnts = jax.device_put(cnts_all[1:])
 
     # ---- probe scan over ALL blocks (in-graph), real skip fraction --------
-    def many_probe(starts, cnts):
-        def step(acc, x):
-            st, ct = x
-            out = prun(st, ct, limit)
-            return acc + out["skip_bits"].astype(jnp.uint64).sum(), out["skip_bits"]
+    def run_probe():
+        # the probe runs the production tier-0 program with the engine's
+        # scan cut (mass==1 at any prefix proves the block)
+        ptier = tier0
+        cut = math.ceil(math.log(2 * n_tot, 4)) + eng._probe_cut_slack
+        cut = cut if o - cut >= 6 else None
+        prun = eng._probe_runner(0, K, errors, o, J, B, ptier, 65535, True,
+                                 mode="bits", probe_cut=cut)
 
-        acc, bits = jax.lax.scan(step, jnp.uint64(0), (starts, cnts))
-        return acc, bits
+        def many_probe(starts, cnts):
+            def step(acc, x):
+                st, ct = x
+                out = prun(st, ct, limit)
+                return acc + out["skip_bits"].astype(jnp.uint64).sum(), out["skip_bits"]
 
-    probe_jit = jax.jit(many_probe)
-    t0 = time.time()
-    _, bits = probe_jit(d_starts, d_cnts)
-    bits = np.asarray(bits)
-    print(f"# probe compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
-    skip_blocks = np.unpackbits(
-        np.ascontiguousarray(bits).view(np.uint8)
-    ).sum()
-    skip_frac = float(skip_blocks / (NB * B))
-    t_probe = float("inf")
-    for rep in range(3):
+            acc, bits = jax.lax.scan(step, jnp.uint64(0), (starts, cnts))
+            return acc, bits
+
+        probe_jit = jax.jit(many_probe)
         t0 = time.time()
-        jax.block_until_ready(probe_jit(d_starts, d_cnts)[1])
-        t_probe = min(t_probe, time.time() - t0)
-    print(f"# probe scan: {NB * B} blocks in {t_probe:.2f}s, "
-          f"skip {skip_frac:.4f}", file=sys.stderr)
+        _, bits = probe_jit(d_starts, d_cnts)
+        bits = np.asarray(bits)
+        print(f"# probe compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+        skip_blocks = np.unpackbits(
+            np.ascontiguousarray(bits).view(np.uint8)
+        ).sum()
+        skip_frac = float(skip_blocks / (NB * B))
+        t_probe = float("inf")
+        for rep in range(3):
+            t0 = time.time()
+            jax.block_until_ready(probe_jit(d_starts, d_cnts)[1])
+            t_probe = min(t_probe, time.time() - t0)
+        print(f"# probe scan: {NB * B} blocks in {t_probe:.2f}s, "
+              f"skip {skip_frac:.4f}", file=sys.stderr)
+        return {"t_probe": t_probe, "skip_frac": skip_frac,
+                "blocks": NB * B, "dimer": bool(ptier.dimer)}
+
+    probe_res = stage(results, "probe")(run_probe)
 
     # ---- tier replay: every escalation tier's cohort, measured in-graph ---
     # The engine recorded WHICH blocks it processed at each tier during the
@@ -207,88 +368,122 @@ def main() -> None:
     # gives the honest steady-state cost of the full escalation cascade —
     # measuring only the first residual tier would unbill the repeat-family
     # tail, which dominates device work on genome-like text.
-    tier_sel = eng.stats.get("tier_sel", {})
-    # mirror the engine's calibrated per-cohort pools and f_extend
-    pools_by_tier = {}
-    fe_by_tier = {}
-    for tk, tv in eng._tuned_pools.items():
-        if tk[:3] == (K, errors, o) and isinstance(tv, tuple):
-            pe, fe = tv
-            if isinstance(pe, list):
-                pools_by_tier[tk[-1]] = pe[0]
-            if fe:
-                fe_by_tier[tk[-1]] = fe
-    tier_res = dataclasses.replace(
-        next(t for t in eng.tiers[1:] if t.exact and not t.dimer),
-        f_extend=fe_by_tier.get(1, 4),
-        ext_exact=False,  # fast one-gather extension (engine residual tier)
-    )
-    tiers_by_idx = {
-        j: (tier_res if j == 1 else dataclasses.replace(
-            eng.tiers[j], f_extend=fe_by_tier.get(j, eng.tiers[j].f_extend)
-        ))
-        for j in tier_sel
-    }
-    t_res = 0.0
-    res_blocks_tot = 0
-    for t_i in sorted(tier_sel):
-        ids = np.concatenate(tier_sel[t_i])
-        n_res = len(ids)
-        res_blocks_tot = max(res_blocks_tot, 0) + (n_res if t_i == 1 else 0)
-        res_starts = (layout_s.start + ids * J).astype(np.uint32)
-        tier_c = tiers_by_idx[t_i]
-        pools_c = pools_by_tier.get(t_i)
-        Bc = min(4096, max(64, 1 << int(np.ceil(np.log2(max(2, n_res))))))
-        NBr = max(1, -(-n_res // Bc))
-        pad = NBr * Bc - n_res
-        res_all = np.concatenate(
-            [res_starts, np.zeros(pad, np.uint32)]
-        ).reshape(NBr, Bc)
-        res_cnts = np.full((NBr, Bc), J, np.int32)
-        run_c = eng._runner(0, K, errors, o, J, Bc, tier_c, 65535, True,
-                            False, pools=pools_c)
+    def run_replay():
+        tier_sel = eng.stats.get("tier_sel", {})
+        pools_by_tier = {}
+        fe_by_tier = {}
+        for tk, tv in eng._tuned_pools.items():
+            if tk[:3] == (K, errors, o) and isinstance(tv, tuple):
+                pe, fe = tv
+                if isinstance(pe, list):
+                    pools_by_tier[tk[-1]] = pe[0]
+                if fe:
+                    fe_by_tier[tk[-1]] = fe
+        tier_res = dataclasses.replace(
+            next(t for t in eng.tiers[1:] if t.exact and not t.dimer),
+            f_extend=fe_by_tier.get(1, 4),
+            ext_exact=False,  # fast one-gather extension (engine residual tier)
+        )
+        tiers_by_idx = {
+            j: (tier_res if j == 1 else dataclasses.replace(
+                eng.tiers[j], f_extend=fe_by_tier.get(j, eng.tiers[j].f_extend)
+            ))
+            for j in tier_sel
+        }
+        t_res = 0.0
+        per_tier = {}
+        from genmap_tpu.search.engine import infix_pool_schedule
+        from genmap_tpu.search.schemes import plans_for
 
-        def many_full(starts, cnts, run_c=run_c):
-            def step(acc, x):
-                st, ct = x
-                out = run_c(st, ct, limit)
-                return (
-                    acc + out["hits"].sum(dtype=jnp.uint32)
-                    + out["overflow"].sum(dtype=jnp.uint32),
-                    None,
-                )
+        plans = plans_for(errors, o)
+        SLOTS = 3 << 20  # engine's per-batch live-state memory budget
+        for t_i in sorted(tier_sel):
+            ids = np.concatenate(tier_sel[t_i])
+            n_res = len(ids)
+            res_starts = (layout_s.start + ids * J).astype(np.uint32)
+            tier_c = tiers_by_idx[t_i]
+            pools_c = pools_by_tier.get(t_i)
+            # memory-bound the batch exactly like the engine's tier_B: the
+            # widest live state tensor is peak_pool (or the extension
+            # frontier) x batch (r4's flat Bc=4096 OOMed HBM at wide tiers)
+            if pools_c is not None:
+                pmax = int(max(pools_c))
+            else:
+                pmax = int(infix_pool_schedule(
+                    plans, K - o, n_tot, tier_c.f_search / 4.0
+                ).max())
+            peak = max(pmax, J * tier_c.f_extend, 1)
+            Bc = min(4096, max(8, SLOTS // peak),
+                     max(64, 1 << int(np.ceil(np.log2(max(2, n_res))))))
+            NBr = max(1, -(-n_res // Bc))
+            pad = NBr * Bc - n_res
+            res_all = np.concatenate(
+                [res_starts, np.zeros(pad, np.uint32)]
+            ).reshape(NBr, Bc)
+            res_cnts = np.full((NBr, Bc), J, np.int32)
+            run_c = eng._runner(0, K, errors, o, J, Bc, tier_c, 65535, True,
+                                False, pools=pools_c)
 
-            acc, _ = jax.lax.scan(step, jnp.uint32(0), (starts, cnts))
-            return acc
+            def many_full(starts, cnts, run_c=run_c):
+                def step(acc, x):
+                    st, ct = x
+                    out = run_c(st, ct, limit)
+                    return (
+                        acc + out["hits"].sum(dtype=jnp.uint32)
+                        + out["overflow"].sum(dtype=jnp.uint32),
+                        None,
+                    )
 
-        full_jit = jax.jit(many_full)
-        dr = jax.device_put(res_all)
-        dc = jax.device_put(res_cnts)
-        t0 = time.time()
-        int(full_jit(dr, dc))
-        t_compile = time.time() - t0
-        tc = float("inf")
-        for rep in range(3):
+                acc, _ = jax.lax.scan(step, jnp.uint32(0), (starts, cnts))
+                return acc
+
+            full_jit = jax.jit(many_full)
+            dr = jax.device_put(res_all)
+            dc = jax.device_put(res_cnts)
             t0 = time.time()
             int(full_jit(dr, dc))
-            tc = min(tc, time.time() - t0)
-        tc *= n_res / (NBr * Bc)  # padded share
-        t_res += tc
-        print(f"# tier {t_i} replay: {n_res} blocks in {tc:.2f}s "
-              f"({n_res * J / max(tc, 1e-9):,.0f} kmers/s; compile+warm "
-              f"{t_compile:.0f}s)", file=sys.stderr)
-    # the e2e slice and the probe batch cover the same corpus prefix, so the
-    # per-kmer tier mix transfers; scale tier time to the probe's k-mer count
-    t_res *= kmers / max(1, nk_h)
-    print(f"# escalation cascade total (scaled to {kmers} kmers): "
-          f"{t_res:.2f}s", file=sys.stderr)
+            t_compile = time.time() - t0
+            tc = float("inf")
+            for rep in range(3):
+                t0 = time.time()
+                int(full_jit(dr, dc))
+                tc = min(tc, time.time() - t0)
+            tc *= n_res / (NBr * Bc)  # padded share
+            t_res += tc
+            per_tier[t_i] = {"blocks": n_res, "t_s": tc}
+            print(f"# tier {t_i} replay: {n_res} blocks in {tc:.2f}s "
+                  f"({n_res * J / max(tc, 1e-9):,.0f} kmers/s; compile+warm "
+                  f"{t_compile:.0f}s)", file=sys.stderr)
+        # the e2e slice and the probe batch cover the same corpus prefix, so
+        # the per-kmer tier mix transfers; scale tier time to the probe's
+        # k-mer count
+        t_res *= kmers / max(1, nk_h)
+        print(f"# escalation cascade total (scaled to {kmers} kmers): "
+              f"{t_res:.2f}s", file=sys.stderr)
+        return {"t_res": t_res, "per_tier": per_tier}
 
-    t_eff = t_probe + t_res
-    rate = kmers / t_eff
-    print(f"# HEADLINE genomelike-{GENOME_MB}Mbp (100,2): {kmers} kmers in "
-          f"{t_eff:.2f}s (probe {t_probe:.2f}s + residual {t_res:.2f}s, "
-          f"skip {skip_frac:.4f}) -> {rate:,.0f} kmers/s/chip",
-          file=sys.stderr)
+    replay_res = stage(results, "replay")(run_replay)
+
+    if probe_res is not None and replay_res is not None:
+        t_eff = probe_res["t_probe"] + replay_res["t_res"]
+        rate = kmers / t_eff
+        print(f"# HEADLINE genomelike-{GENOME_MB}Mbp (100,2): {kmers} kmers "
+              f"in {t_eff:.2f}s (probe {probe_res['t_probe']:.2f}s + residual "
+              f"{replay_res['t_res']:.2f}s, skip {probe_res['skip_frac']:.4f})"
+              f" -> {rate:,.0f} kmers/s/chip", file=sys.stderr)
+        results.set("headline", {"rate": rate, "t_eff": t_eff})
+        # emit NOW: the config sweep below is informational and must not be
+        # able to take the headline down with it
+        emit(rate)
+        try:
+            with open(LAST_GOOD_PATH, "w") as f:
+                json.dump({"metric": METRIC, "value": round(rate, 1),
+                           "date": time.strftime("%Y-%m-%d"),
+                           "skip_frac": probe_res["skip_frac"]}, f)
+        except Exception:
+            pass
+    else:
+        emit_best_available(results)
 
     # ---- reference configs of record, end-to-end --------------------------
     # (/root/reference/benchmarks/bench.sh:35-43 runs (5,0), (6,0), (101,0..4)
@@ -299,6 +494,7 @@ def main() -> None:
         # 64 Mbp blow the bench budget; the sub-layout keeps the 64 Mbp
         # index's search depth and repeat statistics, with dedup + probe
         # fully engaged)
+        configs = {}
         for Ks, Es in [(5, 0), (6, 0), (20, 1), (30, 2), (101, 0), (101, 1),
                        (101, 2), (101, 3), (101, 4)]:
             try:
@@ -320,15 +516,13 @@ def main() -> None:
                       f"fetch {st['fetch_s']:.1f}s, scatter {st['scatter_s']:.1f}s, "
                       f"ovf {st['overflow_blocks']}, max_tier {st['max_tier']}]",
                       file=sys.stderr)
+                configs[f"{Ks},{Es}"] = {"kmers_per_sec": nkc / best,
+                                         "best_s": best}
+                results.set("configs", configs)
             except Exception as e:
                 print(f"# config ({Ks},{Es}): FAILED {e!r}", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "kmer_queries_per_sec_chip_K100_E2_genomelike",
-        "value": round(rate, 1),
-        "unit": "kmers/s/chip",
-        "vs_baseline": round(rate / CPU_BASELINE_KMERS_PER_SEC, 4),
-    }), flush=True)
+                configs[f"{Ks},{Es}"] = {"error": repr(e)}
+                results.set("configs", configs)
 
 
 if __name__ == "__main__":

@@ -183,7 +183,7 @@ class MappabilityEngine:
         # measured flat optimum 14-26 on genome-like text, r4)
         self._probe_cut_slack = 14
         self._tuned_pools: dict = {}
-        self._warm_executor = None  # lazy single-thread AOT-compile worker
+        self._warm_queue = None  # lazy single-daemon-thread AOT-compile worker
         # opt-in: record the block ids processed per tier (bench replay)
         self._record_tier_sel = False
         self.tiers = tiers
@@ -340,27 +340,33 @@ class MappabilityEngine:
         Escalation-tier compiles are near-certain on fast tiers (far-flagged
         blocks) but used only after the current tier's full pass — starting
         them while tier-0 batches run hides minutes of remote-TPU compile
-        (NOTES.md) behind execution.  One worker thread: parallel compiles
-        starve the remote compile service."""
-        import concurrent.futures
+        (NOTES.md) behind execution.  One DAEMON worker thread: parallel
+        compiles starve the remote compile service, and a non-daemon worker
+        would stall interpreter exit on an in-flight remote compile long
+        after results are written (ADVICE r4)."""
+        import queue
+        import threading
 
-        if self._warm_executor is None:
-            self._warm_executor = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="genmap-warm"
-            )
+        if self._warm_queue is None:
+            self._warm_queue = queue.Queue()
+
+            def _loop(q=self._warm_queue):
+                while True:
+                    w = q.get()
+                    try:
+                        w()
+                    except Exception:
+                        pass  # warm is an optimization; first call compiles
+
+            threading.Thread(
+                target=_loop, daemon=True, name="genmap-warm"
+            ).start()
         for run in runs:
             w = getattr(run, "warm", None)
             if w is None or getattr(run, "_warm_submitted", False):
                 continue
             run._warm_submitted = True
-
-            def _safe(w=w):
-                try:
-                    w()
-                except Exception:
-                    pass  # warm is an optimization; first call compiles
-
-            self._warm_executor.submit(_safe)
+            self._warm_queue.put(w)
 
     def _map_seq_ids(self, pi: int, i1: np.ndarray) -> np.ndarray:
         """Map part-local sequence ids to global ids (rc half after all fwd)."""
@@ -484,6 +490,9 @@ class MappabilityEngine:
         self.stats["probe_skipped"] = 0
         self.stats["dimer_tier"] = False
         self.stats["tier_blocks"] = {}
+        if self._record_tier_sel:
+            self.stats["tier_sel"] = {}
+            self.stats["routes"] = []
         pending = np.arange(len(starts))
         start_tier = 0  # probe residuals may start at the first exact tier
         # size batches by k-mer count, not block count, so small stepSizes
@@ -658,6 +667,9 @@ class MappabilityEngine:
             # upper clamp: the next tier's scale — a residual cohort may
             # genuinely need wider-than-static pools, but beyond the next
             # rung the ladder handles it
+            has_wider = any(
+                t.f_search > cal_tier.f_search for t in tiers[cal_idx + 1 :]
+            )
             next_scale = max(
                 (t.f_search for t in tiers[cal_idx + 1 :]
                  if t.f_search > cal_tier.f_search),
@@ -713,6 +725,14 @@ class MappabilityEngine:
             ratio = max(ratios)
             if 0.7 < ratio <= 1.0:
                 tuned = None
+            # the LAST tier of the ladder must never tighten: its clamp is
+            # its own static scale, so tuning can only shrink pools there —
+            # and a block that would have fit the static final tier but
+            # overflows the tuned one has nowhere left to escalate (ADVICE
+            # r4: a crash regression vs the 'capacity only affects speed'
+            # contract).  Calibration at the final tier is widening-only.
+            if not has_wider:
+                tuned = None
             # extension-frontier calibration: the infix survivor count is
             # the extension tree's root demand, and the STATIC per-tier
             # f_extend is the cascade's real binding constraint on
@@ -730,7 +750,11 @@ class MappabilityEngine:
                 _quant4(1.2 * float(np.quantile(surv, 0.90)) + 1.0),
                 2, 8 * max(1, cal_tier.f_extend),
             ))
-            if fe == cal_tier.f_extend:
+            if fe == cal_tier.f_extend or (
+                not has_wider and fe < cal_tier.f_extend
+            ):
+                # final tier: widening f_extend is safe (capacity grows),
+                # tightening risks unresolvable cap overflows
                 fe = None
             self._tuned_pools[tuned_key] = (tuned if tuned else "static", fe)
             mask = np.ones(len(pending), bool)
@@ -943,9 +967,12 @@ class MappabilityEngine:
         # sub-blocks) go to the next tier — the same capacities EXACT program
         # suffices for them.  This kills the (101,e) double-escalation
         # anomaly of round 3 (VERDICT weak #4).
+        tuned_by_tier: dict[int, list | None] = {start_tier: tuned}
+
         def tier_caps(i):
-            if i == start_tier and tuned is not None:
-                return (max(sum(p) for p in tuned), tiers[i].f_extend,
+            ti = tuned_by_tier.get(i)
+            if ti is not None:
+                return (max(sum(p) for p in ti), tiers[i].f_extend,
                         tiers[i].f_collect)
             pools_i = infix_pool_schedule(plans, K - o, n_max,
                                           tiers[i].f_search / 4.0)
@@ -997,7 +1024,11 @@ class MappabilityEngine:
 
         pending_at = [np.empty(0, np.int64) for _ in tiers]
         pending_at[start_tier] = np.asarray(pending, np.int64)
-        unresolved = 0
+        # unresolved blocks, split by whether they actually RAN at the last
+        # tier (vs. fell off the routing table earlier) — decides whether a
+        # static rescue pass can still help
+        unresolved_ran_last: list[np.ndarray] = []
+        unresolved_other: list[np.ndarray] = []
         for t_i, tier in enumerate(tiers):
             pending = pending_at[t_i]
             if len(pending) == 0:
@@ -1015,6 +1046,12 @@ class MappabilityEngine:
                         tiers[t_i], f_extend=fe_i
                     )
                     tier = tiers[t_i]
+                # keep the overflow routing table honest: this tier's
+                # effective capacities just changed (ADVICE r4: stale caps
+                # routed cap overflows to tiers no larger than the program
+                # they overflowed, forcing guaranteed re-overflow passes)
+                tuned_by_tier[t_i] = tuned_i
+                caps_by_tier[t_i] = tier_caps(t_i)
                 if len(pending) == 0:
                     continue
             B = tier_B(t_i, len(pending), pools_over=tuned_i)
@@ -1120,23 +1157,114 @@ class MappabilityEngine:
             cap_blocks = (
                 np.concatenate(still_cap) if still_cap else np.empty(0, np.int64)
             )
+            if self._record_tier_sel and (len(far_blocks) or len(cap_blocks)):
+                routes = self.stats.setdefault("routes", [])
+                if len(far_blocks):
+                    routes.append((
+                        t_i, t_i + 1 if t_i + 1 < len(tiers) else None,
+                        "far", len(far_blocks),
+                    ))
+                if len(cap_blocks):
+                    routes.append((t_i, next_cap_tier(t_i), "cap",
+                                   len(cap_blocks)))
             if len(far_blocks):
                 if t_i + 1 < len(tiers):
                     pending_at[t_i + 1] = np.concatenate(
                         [pending_at[t_i + 1], far_blocks]
                     )
                 else:
-                    unresolved += len(far_blocks)
+                    unresolved_ran_last.append(far_blocks)
             if len(cap_blocks):
                 j = next_cap_tier(t_i)
                 if j is None:
-                    unresolved += len(cap_blocks)
+                    (unresolved_ran_last if t_i == len(tiers) - 1
+                     else unresolved_other).append(cap_blocks)
                 else:
                     pending_at[j] = np.concatenate([pending_at[j], cap_blocks])
-        if unresolved:
-            raise RuntimeError(
-                f"{unresolved} blocks overflowed the largest frontier tier"
+        if unresolved_ran_last or unresolved_other:
+            # Rescue pass (ADVICE r4): the ladder's results contract is the
+            # STATIC final schedule — calibration/probe tweaks only affect
+            # speed.  Blocks that overflowed a TUNED final program (or fell
+            # off the routing table before reaching the last tier) get one
+            # pass at the pristine static largest tier before we fail.
+            last = len(tiers) - 1
+            pristine = self.tiers[last]
+            last_was_static = (
+                tuned_by_tier.get(last) is None and tiers[last] == pristine
             )
+            rescue = unresolved_other + (
+                [] if last_was_static else unresolved_ran_last
+            )
+            hopeless = unresolved_ran_last if last_was_static else []
+            still = list(hopeless)
+            if rescue:
+                still.append(self._rescue_pass(
+                    c, locations, layout, starts, cnts,
+                    np.unique(np.concatenate(rescue)), K, o, J, errors, cap,
+                    params, csv_needed, csv, collect_exact, pristine,
+                    B0, block_cost, WORK, SLOTS,
+                ))
+            n_still = sum(len(a) for a in still)
+            if n_still:
+                raise RuntimeError(
+                    f"{n_still} blocks overflowed the largest frontier tier"
+                )
+
+    def _rescue_pass(
+        self, c, locations, layout, starts, cnts, ids, K, o, J, errors, cap,
+        params, csv_needed, csv, collect_exact, tier, B0, block_cost,
+        WORK, SLOTS,
+    ) -> np.ndarray:
+        """One static-schedule pass over `ids` at the given (pristine) tier.
+
+        Returns the block ids that STILL overflow (the caller raises)."""
+        from genmap_tpu.parallel.dist import fetch
+
+        cost, peak = block_cost(tier)
+        B = max(8, min(B0, WORK // max(1, cost), SLOTS // max(1, peak), 1024))
+        if self.mesh is not None:
+            n = self._mesh_data
+            B = max(n, -(-B // n) * n)
+        runs = self._runners_for(
+            K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed,
+            with_exact=collect_exact is not None,
+        )
+        still: list[np.ndarray] = []
+        for s in range(0, len(ids), B):
+            sel = ids[s : s + B]
+            outs = self._run_batch(
+                runs, layout, starts[sel], cnts[sel], B, K, J, params
+            )
+            outs = [
+                {
+                    k: (tuple(np.asarray(fetch(x)) for x in v)
+                        if k == "states" else np.asarray(fetch(v)))
+                    for k, v in o_.items()
+                }
+                for o_ in outs
+            ]
+            self.stats["batches"] += 1
+            ovf = np.zeros(len(sel), bool)
+            for out in outs:
+                ovf |= np.asarray(out["overflow"])[: len(sel)]
+            self._scatter_batch(
+                c, locations, outs, starts[sel], cnts[sel], ~ovf, layout,
+                params, K, J, errors, cap, csv_needed, csv,
+            )
+            if collect_exact is not None:
+                E_flo, E_size = collect_exact
+                for pi, out in enumerate(outs):
+                    eflo = np.asarray(out["exact_flo"])
+                    esz = np.asarray(out["exact_size_total"])
+                    for bi in np.nonzero(~ovf)[0]:
+                        s0 = int(starts[sel[bi]])
+                        cnt = int(cnts[sel[bi]])
+                        E_flo[pi][s0 : s0 + cnt] = eflo[bi, :cnt]
+                        E_size[pi][s0 : s0 + cnt] = esz[bi, :cnt]
+            still.append(sel[ovf])
+        return (
+            np.concatenate(still) if still else np.empty(0, np.int64)
+        )
 
     # ------------------------------------------------------------------
 

@@ -722,11 +722,34 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
     sched = _plan_schedule_fused(plans, infix_off, t_seed)
     Tf = sched.shape[1]
     if stop_at is not None:
-        # drop fused steps none of whose consumed chars fall below the cut
+        # truncate so NO plan consumes a char index >= the cut: the probe's
+        # thresholds are computed from lreq_s[:cut] only, and a fused 2-char
+        # step straddling the cut (charidx == cut-1, consume == 2) would
+        # apply the lreq bound AT the cut — if a plan's l-bound ramps 0->1
+        # exactly there, the extra consumed char kills the self-match while
+        # the threshold still budgets 1 for it, silently skipping a block
+        # with a genuine second occurrence.  Per plan: steps entirely past
+        # the cut become passthrough; straddling 2-char steps become mono
+        # steps consuming only their first char (exactly matching the mono
+        # path's T = min(T, stop_at) semantics).
+        cut = int(stop_at)
+        sched = sched.copy()
+        for p in range(len(plans)):
+            for t in range(Tf):
+                ci, co = int(sched[8, t, p]), int(sched[0, t, p])
+                if co == 0 or ci + co <= cut:
+                    continue
+                if ci >= cut:
+                    sched[0, t, p] = 0  # passthrough
+                    sched[8, t, p] = T  # pad-step charidx sentinel
+                else:  # straddle: consume the first char only
+                    sched[0, t, p] = 1
+                    sched[3, t, p] = sched[2, t, p]  # posB = posA
+                    sched[5, t, p] = sched[4, t, p]  # u_end = u_mid
+                    sched[7, t, p] = sched[6, t, p]  # l_end = l_mid
         keep = [
             t for t in range(Tf)
-            if any(int(sched[8, t, p]) < int(stop_at) and int(sched[0, t, p]) > 0
-                   for p in range(len(plans)))
+            if any(int(sched[0, t, p]) > 0 for p in range(len(plans)))
         ]
         Tf = (max(keep) + 1) if keep else 0
         sched = sched[:, :Tf]
@@ -1082,7 +1105,6 @@ def _tree_levels(J: int, K: int) -> list:
 
 
 def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
-    ext_exact = tier.exact if tier.ext_exact is None else tier.ext_exact
     """Extend infix survivors to every k-mer window of each block.
 
     k-mer j covers needle positions [j, j+K); the infix covers [J-1, K).
@@ -1093,6 +1115,7 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
     ~4·sqrt(J) of a flat two-level grouping — and left- and right-moving
     slots share each step's single row gather (_candidate_step_dir).
     """
+    ext_exact = tier.exact if tier.ext_exact is None else tier.ext_exact
     Fe = tier.f_extend
     s_flo, s_rlo, s_size, s_err, s_valid = survivors[:5]
     ovf0 = jnp.zeros((B,), bool)
