@@ -332,10 +332,13 @@ def _main_measure(results: Results) -> None:
         prun = eng._probe_runner(0, K, errors, o, J, B, ptier, 65535, True,
                                  mode="bits", probe_cut=cut)
 
-        def many_probe(starts, cnts):
+        # index/dtext ride as runtime ARGUMENTS: tracing `prun` directly
+        # would bake the rank tables into the outer program as literals and
+        # the remote compile service rejects the multi-100MB MLIR (HTTP 413)
+        def many_probe(index, dtext, starts, cnts):
             def step(acc, x):
                 st, ct = x
-                out = prun(st, ct, limit)
+                out = prun.run_jit(index, dtext, st, ct, limit)
                 return acc + out["skip_bits"].astype(jnp.uint64).sum(), out["skip_bits"]
 
             acc, bits = jax.lax.scan(step, jnp.uint64(0), (starts, cnts))
@@ -343,7 +346,7 @@ def _main_measure(results: Results) -> None:
 
         probe_jit = jax.jit(many_probe)
         t0 = time.time()
-        _, bits = probe_jit(d_starts, d_cnts)
+        _, bits = probe_jit(prun.index, prun.dtext, d_starts, d_cnts)
         bits = np.asarray(bits)
         print(f"# probe compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
         skip_blocks = np.unpackbits(
@@ -353,7 +356,9 @@ def _main_measure(results: Results) -> None:
         t_probe = float("inf")
         for rep in range(3):
             t0 = time.time()
-            jax.block_until_ready(probe_jit(d_starts, d_cnts)[1])
+            jax.block_until_ready(
+                probe_jit(prun.index, prun.dtext, d_starts, d_cnts)[1]
+            )
             t_probe = min(t_probe, time.time() - t0)
         print(f"# probe scan: {NB * B} blocks in {t_probe:.2f}s, "
               f"skip {skip_frac:.4f}", file=sys.stderr)
@@ -369,98 +374,161 @@ def _main_measure(results: Results) -> None:
     # measuring only the first residual tier would unbill the repeat-family
     # tail, which dominates device work on genome-like text.
     def run_replay():
+        """Replay the recorded steady-state cohorts of the SPLIT pipeline,
+        each as one in-graph dispatch:
+
+          t_res = sum_t  A-only(tier t cohort that never dispatched B:
+                          escalated or zero-survivor blocks)
+                + sum_(t, rung, exact)  chain(collector@t -> extender@rung)
+                          over the cells the engine actually routed
+
+        This bills every infix attempt (including non-final escalation
+        attempts) and every extension at the rung it really ran — the
+        honest steady-state device cost of the cascade."""
         tier_sel = eng.stats.get("tier_sel", {})
+        rung_sel = eng.stats.get("rung_sel", {})
+        tiers_by_idx = eng.stats.get("tier_objs", {})
         pools_by_tier = {}
-        fe_by_tier = {}
         for tk, tv in eng._tuned_pools.items():
             if tk[:3] == (K, errors, o) and isinstance(tv, tuple):
                 pe, fe = tv
                 if isinstance(pe, list):
                     pools_by_tier[tk[-1]] = pe[0]
-                if fe:
-                    fe_by_tier[tk[-1]] = fe
-        tier_res = dataclasses.replace(
-            next(t for t in eng.tiers[1:] if t.exact and not t.dimer),
-            f_extend=fe_by_tier.get(1, 4),
-            ext_exact=False,  # fast one-gather extension (engine residual tier)
-        )
-        tiers_by_idx = {
-            j: (tier_res if j == 1 else dataclasses.replace(
-                eng.tiers[j], f_extend=fe_by_tier.get(j, eng.tiers[j].f_extend)
-            ))
-            for j in tier_sel
-        }
-        t_res = 0.0
-        per_tier = {}
-        from genmap_tpu.search.engine import infix_pool_schedule
+        from genmap_tpu.search.engine import infix_pool_schedule, make_extender
         from genmap_tpu.search.schemes import plans_for
 
         plans = plans_for(errors, o)
         SLOTS = 3 << 20  # engine's per-batch live-state memory budget
-        for t_i in sorted(tier_sel):
-            ids = np.concatenate(tier_sel[t_i])
+
+        def pmax_of(t_i):
+            pc = pools_by_tier.get(t_i)
+            if pc is not None:
+                return int(max(pc))
+            return int(infix_pool_schedule(
+                plans, K - o, n_tot, tiers_by_idx[t_i].f_search / 4.0
+            ).max())
+
+        def timed_scan(ids, Bc, step_fn, label):
+            """Time an in-graph lax.scan of step_fn over padded id batches."""
             n_res = len(ids)
-            res_starts = (layout_s.start + ids * J).astype(np.uint32)
-            tier_c = tiers_by_idx[t_i]
-            pools_c = pools_by_tier.get(t_i)
-            # memory-bound the batch exactly like the engine's tier_B: the
-            # widest live state tensor is peak_pool (or the extension
-            # frontier) x batch (r4's flat Bc=4096 OOMed HBM at wide tiers)
-            if pools_c is not None:
-                pmax = int(max(pools_c))
-            else:
-                pmax = int(infix_pool_schedule(
-                    plans, K - o, n_tot, tier_c.f_search / 4.0
-                ).max())
-            peak = max(pmax, J * tier_c.f_extend, 1)
-            Bc = min(4096, max(8, SLOTS // peak),
-                     max(64, 1 << int(np.ceil(np.log2(max(2, n_res))))))
             NBr = max(1, -(-n_res // Bc))
             pad = NBr * Bc - n_res
-            res_all = np.concatenate(
-                [res_starts, np.zeros(pad, np.uint32)]
+            st_all = np.concatenate(
+                [(layout_s.start + ids * J).astype(np.uint32),
+                 np.zeros(pad, np.uint32)]
             ).reshape(NBr, Bc)
-            res_cnts = np.full((NBr, Bc), J, np.int32)
-            run_c = eng._runner(0, K, errors, o, J, Bc, tier_c, 65535, True,
-                                False, pools=pools_c)
+            ct_all = np.full((NBr, Bc), J, np.int32)
 
-            def many_full(starts, cnts, run_c=run_c):
+            def many(index, dtext, starts, cnts):
                 def step(acc, x):
-                    st, ct = x
-                    out = run_c(st, ct, limit)
-                    return (
-                        acc + out["hits"].sum(dtype=jnp.uint32)
-                        + out["overflow"].sum(dtype=jnp.uint32),
-                        None,
-                    )
+                    return acc + step_fn(index, dtext, x[0], x[1]), None
 
                 acc, _ = jax.lax.scan(step, jnp.uint32(0), (starts, cnts))
                 return acc
 
-            full_jit = jax.jit(many_full)
-            dr = jax.device_put(res_all)
-            dc = jax.device_put(res_cnts)
+            mjit = jax.jit(many)
+            dr, dc = jax.device_put(st_all), jax.device_put(ct_all)
+            ix, dt = eng.indices[0], eng.dtext
             t0 = time.time()
-            int(full_jit(dr, dc))
+            int(mjit(ix, dt, dr, dc))
             t_compile = time.time() - t0
             tc = float("inf")
             for rep in range(3):
                 t0 = time.time()
-                int(full_jit(dr, dc))
+                int(mjit(ix, dt, dr, dc))
                 tc = min(tc, time.time() - t0)
             tc *= n_res / (NBr * Bc)  # padded share
-            t_res += tc
-            per_tier[t_i] = {"blocks": n_res, "t_s": tc}
-            print(f"# tier {t_i} replay: {n_res} blocks in {tc:.2f}s "
+            print(f"# {label}: {n_res} blocks in {tc:.2f}s "
                   f"({n_res * J / max(tc, 1e-9):,.0f} kmers/s; compile+warm "
                   f"{t_compile:.0f}s)", file=sys.stderr)
+            return tc
+
+        t_res = 0.0
+        per_cell = {}
+        # blocks that dispatched an extender per tier (final A attempts)
+        b_by_tier: dict = {}
+        for (t_i, Fe, exact), lists in rung_sel.items():
+            b_by_tier.setdefault(t_i, set()).update(
+                np.concatenate(lists).tolist()
+            )
+        # ---- A-only cohorts: escalated or zero-survivor attempts ----------
+        for t_i in sorted(tier_sel):
+            ids_all = np.concatenate(tier_sel[t_i])
+            bdisp = b_by_tier.get(t_i, set())
+            ids = np.array(
+                [g for g in ids_all.tolist() if g not in bdisp], np.int64
+            )
+            if not len(ids):
+                continue
+            tier_c = tiers_by_idx[t_i]
+            pools_c = pools_by_tier.get(t_i)
+            Bc = min(4096, max(8, SLOTS // max(1, pmax_of(t_i))),
+                     max(64, 1 << int(np.ceil(np.log2(max(2, len(ids)))))))
+            arun = eng._runner(0, K, errors, o, J, Bc, tier_c, 65535, True,
+                               False, pools=pools_c, collect_only=True)
+
+            def astep(index, dtext, st, ct, arun=arun):
+                a = arun.run_jit(index, dtext, st, ct, limit)
+                # checksum every state output so the collector's compaction
+                # is not dead-code-eliminated
+                return (
+                    a["flo"].sum(dtype=jnp.uint32)
+                    + a["size"].sum(dtype=jnp.uint32)
+                    + a["surv"].sum(dtype=jnp.uint32)
+                )
+
+            tc = timed_scan(ids, Bc, astep, f"tier {t_i} A-only")
+            t_res += tc
+            per_cell[f"A{t_i}"] = {"blocks": len(ids), "t_s": tc}
+        # ---- chain cells: collector@t -> extender@rung --------------------
+        for (t_i, Fe, exact) in sorted(rung_sel):
+            ids = np.concatenate(rung_sel[(t_i, Fe, exact)])
+            tier_c = tiers_by_idx[t_i]
+            pools_c = pools_by_tier.get(t_i)
+            peak = max(pmax_of(t_i), J * Fe, 1)
+            Bc = min(4096, max(8, SLOTS // peak),
+                     max(64, 1 << int(np.ceil(np.log2(max(2, len(ids)))))))
+            arun = eng._runner(0, K, errors, o, J, Bc, tier_c, 65535, True,
+                               False, pools=pools_c, collect_only=True)
+            brun = make_extender(
+                eng.indices[0], eng.dtext, K=K, errors=errors, overlap=o,
+                J=J, B=Bc, Fe=Fe, cap=65535, rev_compl=True, exact=exact,
+            )
+
+            def cstep(index, dtext, st, ct, arun=arun, brun=brun, Fe=Fe):
+                a = arun.run_jit(index, dtext, st, ct, limit)
+                Fc = a["flo"].shape[1]
+
+                def sl(x):
+                    if Fc >= Fe:
+                        return x[:, :Fe]
+                    pad = jnp.zeros((x.shape[0], Fe - Fc), x.dtype)
+                    return jnp.concatenate([x, pad], axis=1)
+
+                b = brun.run_jit(
+                    index, dtext, st, ct, limit, sl(a["flo"]), sl(a["rlo"]),
+                    sl(a["size"]), sl(a["err"]), sl(a["valid"]),
+                )
+                return (
+                    b["hits"].sum(dtype=jnp.uint32)
+                    + b["overflow"].sum(dtype=jnp.uint32)
+                )
+
+            tc = timed_scan(
+                ids, Bc, cstep, f"tier {t_i} chain rung {Fe}"
+                f"{'x' if exact else 'f'}"
+            )
+            t_res += tc
+            per_cell[f"C{t_i}.{Fe}.{int(exact)}"] = {
+                "blocks": len(ids), "t_s": tc,
+            }
         # the e2e slice and the probe batch cover the same corpus prefix, so
         # the per-kmer tier mix transfers; scale tier time to the probe's
         # k-mer count
         t_res *= kmers / max(1, nk_h)
         print(f"# escalation cascade total (scaled to {kmers} kmers): "
               f"{t_res:.2f}s", file=sys.stderr)
-        return {"t_res": t_res, "per_tier": per_tier}
+        return {"t_res": t_res, "per_cell": per_cell}
 
     replay_res = stage(results, "replay")(run_replay)
 

@@ -119,14 +119,17 @@ class MappabilityEngine:
         self.batch_blocks = batch_blocks
         if self.part_sharded:
             # parts live sharded across the 'part' mesh axis; blocks across
-            # 'data'; per-part counts merge on-device (parallel/partmesh.py).
-            # CSV/locate (host-side per-part row spaces) is not available.
+            # 'data'; per-part results merge on-device (parallel/partmesh.py:
+            # psum counts, pmax calibration signals, all_gather per-part
+            # axes for dedup keys / CSV states; locate runs on each part's
+            # own device group against its local sampled SA).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from genmap_tpu.parallel.partmesh import stack_parts
 
             self.indices = None
-            self.stacked = stack_parts(data, mesh)
+            self.stacked = stack_parts(data, mesh, light=light)
+            self._part_locator = None  # lazy (chunk-sized program)
             self.dtext = jax.device_put(self.dtext, NamedSharding(mesh, P()))
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self._mesh_data = mesh.shape["data"]
@@ -160,16 +163,13 @@ class MappabilityEngine:
         # pool-100+ frontiers of short-infix configs like (30,2)).
         self._dimer_mode = dimer_tier
         self._dimer_ok = (
-            not self.part_sharded
-            and tiers is DEFAULT_TIERS
+            tiers is DEFAULT_TIERS
             and all(
                 p.dimer is not None and p.dimer_flag_frac < 1e-3
                 for p in data.parts
             )
         )
-        self._dimer_forced_ok = not self.part_sharded and all(
-            p.dimer is not None for p in data.parts
-        )
+        self._dimer_forced_ok = all(p.dimer is not None for p in data.parts)
         # unique-infix short-circuit (see _execute_blocks); disable for
         # debugging / A-B comparisons
         self._probe_enabled = True
@@ -228,9 +228,10 @@ class MappabilityEngine:
     # ------------------------------------------------------------------
 
     def _runner(self, pi, K, errors, o, J, B, tier, cap, rev_compl, with_states,
-                with_exact=False, pools=None, with_occ=False):
+                with_exact=False, pools=None, with_occ=False,
+                collect_only=False):
         key = (pi, K, errors, o, J, B, tier, cap, rev_compl, with_states,
-               with_exact, pools, with_occ)
+               with_exact, pools, with_occ, collect_only)
         if key not in self._runners:
             self._runners[key] = make_block_mapper(
                 self.indices[pi],
@@ -248,6 +249,18 @@ class MappabilityEngine:
                 mesh=self.mesh,
                 pools=pools,
                 with_occ=with_occ,
+                collect_only=collect_only,
+            )
+        return self._runners[key]
+
+    def _extender(self, K, errors, o, J, B2, Fe, cap, rev_compl, exact):
+        key = ("ext", K, errors, o, J, B2, Fe, cap, rev_compl, exact)
+        if key not in self._runners:
+            from genmap_tpu.search.engine import make_extender
+
+            self._runners[key] = make_extender(
+                self.indices[0], self.dtext, K=K, errors=errors, overlap=o,
+                J=J, B=B2, Fe=Fe, cap=cap, rev_compl=rev_compl, exact=exact,
             )
         return self._runners[key]
 
@@ -274,56 +287,20 @@ class MappabilityEngine:
             )
         return self._runners[key]
 
-    def _ensure_replicated_parts(self):
-        """CSV/exclude-pseudo on a part x data mesh: the psum part-merge path
-        has no host-side per-part SA row spaces, so those runs fall back to
-        per-part replicated execution over the full mesh (the reference
-        supports CSV in every mode, algo.hpp:311-386).  Costs part-count x
-        more device work and holds every part's tables on every device —
-        warned once because the memory bill can be large at hg38 scale."""
-        if self.indices is not None:
-            return
-        import sys
-
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        print(
-            "WARNING: csv/exclude-pseudo on a part-sharded mesh falls back "
-            "to replicated per-part execution (every part's tables on every "
-            "device; part-count x the device work).",
-            file=sys.stderr,
-        )
-        rep = NamedSharding(self.mesh, P())
-        self.indices = [
-            jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, rep),
-                DeviceIndex.from_part(self.data, p, light=self.light),
-            )
-            for p in self.data.parts
-        ]
-        self._locate_fns = [
-            jax.jit(lambda pos, valid, ix=ix: locate(ix, pos, valid))
-            for ix in self.indices
-        ]
-
     def _runners_for(self, K, errors, o, J, B, tier, cap, rev_compl, with_states,
                      with_exact=False, pools_list=None, with_occ=False):
         if self.part_sharded:
-            if with_states or with_exact:
-                self._ensure_replicated_parts()
-                return [
-                    self._runner(pi, K, errors, o, J, B, tier, cap, rev_compl,
-                                 with_states, with_exact)
-                    for pi in range(len(self.indices))
-                ]
-            key = ("psh", K, errors, o, J, B, tier, cap, rev_compl)
+            pools = None if pools_list is None else pools_list[0]
+            key = ("psh", K, errors, o, J, B, tier, cap, rev_compl,
+                   with_states, with_exact, pools, with_occ)
             if key not in self._runners:
                 from genmap_tpu.parallel.partmesh import make_part_mapper
 
                 self._runners[key] = make_part_mapper(
                     self.stacked, self.dtext, self.mesh, K=K, errors=errors,
                     overlap=o, J=J, B=B, tier=tier, cap=cap,
-                    rev_compl=rev_compl,
+                    rev_compl=rev_compl, pools=pools, with_occ=with_occ,
+                    with_exact_parts=with_exact, with_states=with_states,
                 )
             return [self._runners[key]]
         return [
@@ -333,6 +310,29 @@ class MappabilityEngine:
                          with_occ=with_occ)
             for pi in range(len(self.indices))
         ]
+
+    def _expand_part_outs(self, outs):
+        """Part-mesh runners return ONE psum-merged dict; expand it into the
+        per-part list the scatter/CSV/dedup host code consumes.  Per-part
+        axes come from the all_gathered *_parts outputs; psum-merged scalars
+        ride on part 0 with zeros elsewhere (the consumers sum over parts)."""
+        if not (self.part_sharded and len(outs) == 1
+                and ("exact_flo_parts" in outs[0] or "states_parts" in outs[0])):
+            return outs
+        out = outs[0]
+        res = []
+        for pi in range(len(self.data.parts)):
+            d = {
+                k: (v if pi == 0 else np.zeros_like(v))
+                for k, v in out.items()
+                if k in ("hits", "overflow", "overflow_cap", "exact_size")
+            }
+            d["exact_size_total"] = out["exact_size_total_parts"][pi]
+            d["exact_flo"] = out["exact_flo_parts"][pi]
+            if "states_parts" in out:
+                d["states"] = tuple(a[pi] for a in out["states_parts"])
+            res.append(d)
+        return res
 
     def _warm_async(self, runs):
         """Best-effort background AOT compile of runner programs.
@@ -387,6 +387,26 @@ class MappabilityEngine:
         i1 = np.empty(n, dtype=np.uint32)
         i2 = np.empty(n, dtype=np.uint32)
         ch = self._locate_chunk
+        if self.part_sharded:
+            # LF-walks run on part pi's own device group against its local
+            # sampled SA (parallel/partmesh.py make_part_locator)
+            if self._part_locator is None:
+                from genmap_tpu.parallel.partmesh import make_part_locator
+
+                self._part_locator = make_part_locator(
+                    self.stacked, self.mesh, ch
+                )
+            P_ = len(self.data.parts)
+            for s in range(0, n, ch):
+                part = positions[s : s + ch].astype(np.uint32)
+                pp = np.zeros((P_, ch), np.uint32)
+                vv = np.zeros((P_, ch), bool)
+                pp[pi, : len(part)] = part
+                vv[pi, : len(part)] = True
+                r1, r2 = self._part_locator(pp, vv)
+                i1[s : s + ch] = np.asarray(r1)[pi, : len(part)]
+                i2[s : s + ch] = np.asarray(r2)[pi, : len(part)]
+            return self._map_seq_ids(pi, i1), i2
         fn = self._locate_fns[pi]
         for s in range(0, n, ch):
             part = positions[s : s + ch].astype(np.uint32)
@@ -561,6 +581,36 @@ class MappabilityEngine:
             tiers[0] = dataclasses.replace(tiers[0], dimer=True)
         self.stats["dimer_tier"] = use_dimer
 
+        # WIDE escalation tiers run on the dimer table (r5): their per-step
+        # pools are far beyond the >= 12-slot amortization gate, so fusing
+        # two chars per gather ~halves both infix and extension rows —
+        # exactly where the genome-like residual cascade spends its time
+        # (tiers 2-5 were 40 of the 51 headline-residual seconds).  Each
+        # wide tier gets a dimer twin INSERTED BEFORE it: far flags
+        # (flagged sub-blocks / wide windows) fall through to the mono twin
+        # at the same capacities, capacity overflows route past it to the
+        # next larger tier (next_cap_tier compares capacities, the twin's
+        # are equal).
+        dimer_esc = (
+            (self._dimer_mode is True and self._dimer_forced_ok)
+            or (self._dimer_mode is None and self._dimer_ok)
+        )
+        if dimer_esc:
+            expanded = list(tiers[:1])
+            for t in tiers[1:]:
+                if (
+                    t.exact
+                    and not t.dimer
+                    and float(
+                        infix_pool_schedule(
+                            plans, K - o, n_max, t.f_search / 4.0
+                        ).mean()
+                    ) >= 12.0
+                ):
+                    expanded.append(dataclasses.replace(t, dimer=True))
+                expanded.append(t)
+            tiers = expanded
+
         # ---- occupancy calibration ------------------------------------------
         # The static pool schedule is a safe but crude estimate: measured
         # waste is 3-5x on branch-heavy configs, and on genome-like text the
@@ -581,10 +631,7 @@ class MappabilityEngine:
             cal_tier = tiers[cal_idx]
             tuned_key = (K, errors, o, cal_tier.dimer, cal_tier.f_extend,
                          cal_idx)
-            entry = (
-                "absent" if self.part_sharded
-                else self._tuned_pools.get(tuned_key, "absent")
-            )
+            entry = self._tuned_pools.get(tuned_key, "absent")
             if isinstance(entry, tuple):
                 pools_e, fe_e = entry
                 return pending, (pools_e if isinstance(pools_e, list) else None), fe_e
@@ -596,7 +643,6 @@ class MappabilityEngine:
             if not (
                 entry == "absent"
                 and self._calibrate_enabled
-                and not self.part_sharded
                 and collect_exact is None
                 and not csv_needed
                 and int(base0.sum()) >= 96
@@ -684,13 +730,16 @@ class MappabilityEngine:
                 # (measured r4: a non-representative sample rejected tuning
                 # while 26% of (20,1) blocks cap-overflowed static pools)
                 occg = occ
+                # part-mesh occ is already the pmax over parts; the shared
+                # program's pools are sized against the widest part
+                n_pi = (
+                    n_max if self.part_sharded
+                    else self.data.parts[pi].n_total
+                )
                 base_pi = infix_pool_schedule(
-                    plans, K - o, self.data.parts[pi].n_total,
-                    cal_tier.f_search / 4.0,
+                    plans, K - o, n_pi, cal_tier.f_search / 4.0,
                 )
-                clamp_pi = infix_pool_schedule(
-                    plans, K - o, self.data.parts[pi].n_total, next_scale
-                )
+                clamp_pi = infix_pool_schedule(plans, K - o, n_pi, next_scale)
                 # a block escalates if it exceeds the pool at ANY step, so
                 # per-step percentiles compound across the ~T steps
                 # (measured: per-step p99 pools overflowed 67% of (20,1)
@@ -788,7 +837,6 @@ class MappabilityEngine:
             and collect_exact is None
             and not csv_needed
             and J >= 2
-            and not self.part_sharded
             and len(pending) * J >= 1 << 15
         )
         if probe_ok:
@@ -833,18 +881,34 @@ class MappabilityEngine:
             if self.mesh is not None:
                 nsh = self._mesh_data
                 Bp = max(nsh, -(-Bp // (32 * nsh)) * 32 * nsh)
-            # single-part probes decide ON DEVICE and ship a packed bitmap
-            # (the tunneled device link is bandwidth-starved; per-block
-            # uint32 masses dominated the probe wall time); multi-part
-            # probes need the raw masses host-side to sum across parts
-            bits_mode = len(self.indices) == 1
-            pmode = "bits" if bits_mode else True
-            pruns = [
-                self._probe_runner(pi, K, errors, o, J, Bp, tier0, cap,
-                                   params.rev_compl, mode=pmode,
-                                   probe_cut=probe_cut)
-                for pi in range(len(self.indices))
-            ]
+            # single-part and part-MESH probes decide ON DEVICE and ship a
+            # packed bitmap (the tunneled device link is bandwidth-starved;
+            # per-block uint32 masses dominated the probe wall time; on the
+            # part mesh the cross-part mass psum rides ICI).  Only the
+            # single-device multi-part loop needs raw masses host-side.
+            if self.part_sharded:
+                bits_mode = True
+                pkey = ("probe_psh", K, errors, o, J, Bp, tier0, cap,
+                        params.rev_compl, probe_cut)
+                if pkey not in self._runners:
+                    from genmap_tpu.parallel.partmesh import make_part_prober
+
+                    self._runners[pkey] = make_part_prober(
+                        self.stacked, self.dtext, self.mesh, K=K,
+                        errors=errors, overlap=o, J=J, B=Bp, tier=tier0,
+                        cap=cap, rev_compl=params.rev_compl,
+                        probe_cut=probe_cut,
+                    )
+                pruns = [self._runners[pkey]]
+            else:
+                bits_mode = len(self.indices) == 1
+                pmode = "bits" if bits_mode else True
+                pruns = [
+                    self._probe_runner(pi, K, errors, o, J, Bp, tier0, cap,
+                                       params.rev_compl, mode=pmode,
+                                       probe_cut=probe_cut)
+                    for pi in range(len(self.indices))
+                ]
 
             residual: list[np.ndarray] = []
             done_blocks = 0
@@ -1022,6 +1086,15 @@ class MappabilityEngine:
                 B = max(n, -(-B // n) * n)
             return B
 
+        # split pipeline: single part, no mesh, plain counting runs (CSV /
+        # exact-key collection keep the fused per-tier programs)
+        use_split = (
+            collect_exact is None
+            and not csv_needed
+            and self.mesh is None
+            and self.indices is not None
+            and len(self.indices) == 1
+        )
         pending_at = [np.empty(0, np.int64) for _ in tiers]
         pending_at[start_tier] = np.asarray(pending, np.int64)
         # unresolved blocks, split by whether they actually RAN at the last
@@ -1055,6 +1128,41 @@ class MappabilityEngine:
                 if len(pending) == 0:
                     continue
             B = tier_B(t_i, len(pending), pools_over=tuned_i)
+            if use_split:
+                far_blocks, cap_blocks, unres = self._run_tier_split(
+                    t_i, tier, pending, B, tuned_i, c, layout, starts, cnts,
+                    K, o, J, errors, cap, params, progress, start_tier,
+                    SLOTS,
+                )
+                if len(unres):
+                    unresolved_other.append(unres)
+                if self._record_tier_sel and (len(far_blocks) or len(cap_blocks)):
+                    routes = self.stats.setdefault("routes", [])
+                    if len(far_blocks):
+                        routes.append((
+                            t_i, t_i + 1 if t_i + 1 < len(tiers) else None,
+                            "far", len(far_blocks),
+                        ))
+                    if len(cap_blocks):
+                        routes.append((t_i, next_cap_tier(t_i), "cap",
+                                       len(cap_blocks)))
+                if len(far_blocks):
+                    if t_i + 1 < len(tiers):
+                        pending_at[t_i + 1] = np.concatenate(
+                            [pending_at[t_i + 1], far_blocks]
+                        )
+                    else:
+                        unresolved_ran_last.append(far_blocks)
+                if len(cap_blocks):
+                    j = next_cap_tier(t_i)
+                    if j is None:
+                        (unresolved_ran_last if t_i == len(tiers) - 1
+                         else unresolved_other).append(cap_blocks)
+                    else:
+                        pending_at[j] = np.concatenate(
+                            [pending_at[j], cap_blocks]
+                        )
+                continue
             runs = self._runners_for(
                 K, errors, o, J, B, tier, cap, params.rev_compl, csv_needed,
                 with_exact=collect_exact is not None,
@@ -1086,12 +1194,13 @@ class MappabilityEngine:
                     t0 = _time.perf_counter()
                     outs = [
                         {
-                            k: (tuple(fetch(x) for x in v) if k == "states"
-                                else fetch(v))
+                            k: (tuple(np.asarray(fetch(x)) for x in v)
+                                if isinstance(v, tuple) else np.asarray(fetch(v)))
                             for k, v in o.items()
                         }
                         for o in outs
                     ]
+                    outs = self._expand_part_outs(outs)
                     t1 = _time.perf_counter()
                     stats["fetch_s"] += t1 - t0
                     ovf = np.zeros(len(sel), bool)
@@ -1132,6 +1241,11 @@ class MappabilityEngine:
                         self.stats.setdefault("tier_sel", {}).setdefault(
                             t_i, []
                         ).append(sel)
+                        # the EFFECTIVE tier object (incl. probe-residual /
+                        # f_extend / dimer-expansion rewrites): replaying a
+                        # cohort against the static ladder would run the
+                        # wrong program
+                        self.stats.setdefault("tier_objs", {})[t_i] = tier
                     still_cap.append(sel[ovfc])
                     still_far.append(sel[ovf & ~ovfc])
                     if t_i == start_tier and progress is not None:
@@ -1238,11 +1352,12 @@ class MappabilityEngine:
             outs = [
                 {
                     k: (tuple(np.asarray(fetch(x)) for x in v)
-                        if k == "states" else np.asarray(fetch(v)))
+                        if isinstance(v, tuple) else np.asarray(fetch(v)))
                     for k, v in o_.items()
                 }
                 for o_ in outs
             ]
+            outs = self._expand_part_outs(outs)
             self.stats["batches"] += 1
             ovf = np.zeros(len(sel), bool)
             for out in outs:
@@ -1265,6 +1380,195 @@ class MappabilityEngine:
         return (
             np.concatenate(still) if still else np.empty(0, np.int64)
         )
+
+    # ------------------------------------------------------------------
+    # Split pipeline (r5): phase-A infix collectors + per-rung phase-B
+    # extenders.  Extension frontiers are sized to each block's MEASURED
+    # survivor count (fetched as one uint16 per block) instead of a whole
+    # cohort padding to its worst member, and an extension overflow re-runs
+    # ONLY the extension at the next rung — the infix never repeats for
+    # extension-bound blocks (measured r4: 75% of the genome-like tier-2
+    # cohort re-ran everything because of extension overflow alone).
+
+    # extension rung ladder + the rung from which extension starts on the
+    # exact two-gather path (wide-interval blocks would far-flag the fast
+    # window anyway and pay a second pass)
+    _RUNGS = (4, 16, 64, 256, 1024, 4096, 16384, 32768)
+    _EXACT_RUNG_MIN = 256
+
+    def _run_tier_split(
+        self, t_i, tier, pending, B, tuned_i, c, layout, starts, cnts,
+        K, o, J, errors, cap, params, progress, start_tier, SLOTS,
+    ):
+        """One tier of the split pipeline (single part, no mesh, no CSV).
+
+        Returns (far_blocks, cap_blocks, unresolved): infix far/cap
+        overflows escalate tiers exactly like the fused path; `unresolved`
+        are blocks whose extension exceeded the largest rung (the caller's
+        static rescue pass fields them)."""
+        import time as _time
+
+        import jax.numpy as jnp
+
+        arun = self._runner(
+            0, K, errors, o, J, B, tier, cap, params.rev_compl, False,
+            pools=None if tuned_i is None else tuned_i[0],
+            collect_only=True,
+        )
+        stats = self.stats
+        still_far: list[np.ndarray] = []
+        still_cap: list[np.ndarray] = []
+        unresolved: list[np.ndarray] = []
+        inflight_a: list[tuple[np.ndarray, dict]] = []
+        inflight_b: list[tuple] = []
+        limit = np.uint32(layout.start + layout.length)
+
+        def rung_of(surv):
+            # headroom mirrors the fused path's f_extend calibration rule
+            # (the frontier can grow past the root during the tree split)
+            need = 1.2 * float(surv) + 1.0
+            for r in self._RUNGS:
+                if r >= need:
+                    return r
+            return self._RUNGS[-1] if surv <= self._RUNGS[-1] else None
+
+        def b_batch_size(Fe):
+            b = max(2, SLOTS // max(1, J * Fe))
+            return min(4096, 1 << int(np.log2(b)))
+
+        def dispatch_b(a_out, rows, gids, Fe, exact):
+            B2 = b_batch_size(Fe)
+            for s in range(0, len(rows), B2):
+                rs = np.asarray(rows[s : s + B2], np.int32)
+                gs = np.asarray(gids[s : s + B2])
+                n = len(rs)
+                # pow2-pad the batch: bounded program-shape variety keeps
+                # the (remote) compile cache hot
+                npad = min(B2, 1 << int(np.ceil(np.log2(max(2, n)))))
+                ridx = np.zeros(npad, np.int32)
+                ridx[:n] = rs
+                Fc = a_out["flo"].shape[1]
+                jridx = jnp.asarray(ridx)
+
+                def sl(a, Fe=Fe, Fc=Fc, jridx=jridx, npad=npad):
+                    x = jnp.take(a, jridx, axis=0)
+                    if Fc >= Fe:
+                        return x[:, :Fe]
+                    pad = jnp.zeros((npad, Fe - Fc), x.dtype)
+                    return jnp.concatenate([x, pad], axis=1)
+
+                vv = sl(a_out["valid"]) & (jnp.arange(npad) < n)[:, None]
+                st = (sl(a_out["flo"]), sl(a_out["rlo"]), sl(a_out["size"]),
+                      sl(a_out["err"]), vv)
+                gstarts = np.zeros(npad, np.uint32)
+                gstarts[:n] = (layout.start + starts[gs]).astype(np.uint32)
+                bcnts = np.zeros(npad, np.int32)
+                bcnts[:n] = cnts[gs]
+                run_b = self._extender(K, errors, o, J, npad, Fe, cap,
+                                       params.rev_compl, exact)
+                t0 = _time.perf_counter()
+                out = run_b(gstarts, bcnts, limit, st)
+                stats["dispatch_s"] += _time.perf_counter() - t0
+                inflight_b.append((gs, a_out, rs, Fe, exact, out))
+                if self._record_tier_sel:
+                    # keyed by (A tier, rung, exact): the bench replays each
+                    # cell as one in-graph collector+extender chain
+                    self.stats.setdefault("rung_sel", {}).setdefault(
+                        (t_i, Fe, exact), []
+                    ).append(gs)
+
+        def drain_b(one):
+            while inflight_b and (len(inflight_b) >= 4 or one):
+                gs, a_out, rs, Fe, exact, out = inflight_b.pop(0)
+                t0 = _time.perf_counter()
+                hits = np.asarray(out["hits"])
+                ovf = np.asarray(out["overflow"])
+                ovfc = np.asarray(out["overflow_cap"])
+                stats["fetch_s"] += _time.perf_counter() - t0
+                n = len(gs)
+                ok = ~ovf[:n]
+                t0 = _time.perf_counter()
+                for i in np.nonzero(ok)[0]:
+                    i0 = int(starts[gs[i]])
+                    cnt_i = int(cnts[gs[i]])
+                    c[i0 : i0 + cnt_i] = hits[i, :cnt_i]
+                stats["scatter_s"] += _time.perf_counter() - t0
+                bad = np.nonzero(~ok)[0]
+                if len(bad):
+                    capb = ovfc[:n][bad]
+                    far_rows = bad[~capb]
+                    if len(far_rows):
+                        # fast-window miss: exact gathers at the same rung
+                        dispatch_b(a_out, rs[far_rows], gs[far_rows], Fe, True)
+                    cap_rows = bad[capb]
+                    if len(cap_rows):
+                        nxt = next(
+                            (r for r in self._RUNGS if r > Fe), None
+                        )
+                        if nxt is None:
+                            unresolved.append(gs[cap_rows])
+                        else:
+                            dispatch_b(a_out, rs[cap_rows], gs[cap_rows], nxt,
+                                       exact or nxt >= self._EXACT_RUNG_MIN)
+                if one:
+                    break
+
+        def drain_a(one):
+            while inflight_a and (len(inflight_a) >= 8 or one):
+                sel, a_out = inflight_a.pop(0)
+                t0 = _time.perf_counter()
+                surv = np.asarray(a_out["surv"])[: len(sel)]
+                ovf = np.asarray(a_out["overflow"])[: len(sel)]
+                ovfc = np.asarray(a_out["overflow_cap"])[: len(sel)]
+                stats["fetch_s"] += _time.perf_counter() - t0
+                self.stats["overflow_blocks"] += int(ovf.sum())
+                self.stats["max_tier"] = max(self.stats["max_tier"], t_i)
+                tb = self.stats["tier_blocks"]
+                tb[t_i] = tb.get(t_i, 0) + len(sel)
+                if self._record_tier_sel:
+                    self.stats.setdefault("tier_sel", {}).setdefault(
+                        t_i, []
+                    ).append(sel)
+                    self.stats.setdefault("tier_objs", {})[t_i] = tier
+                still_cap.append(sel[ovfc])
+                still_far.append(sel[ovf & ~ovfc])
+                okm = ~ovf
+                # zero-survivor blocks: the infix neighborhood is absent, so
+                # every k-mer count is 0 — no extension needed
+                for i in np.nonzero(okm & (surv == 0))[0]:
+                    i0 = int(starts[sel[i]])
+                    c[i0 : i0 + int(cnts[sel[i]])] = 0
+                live = np.nonzero(okm & (surv > 0))[0]
+                if len(live):
+                    rungs = np.array([rung_of(s) for s in surv[live]])
+                    for r in np.unique(rungs):
+                        m = rungs == r
+                        dispatch_b(a_out, live[m], sel[live[m]], int(r),
+                                   int(r) >= self._EXACT_RUNG_MIN)
+                if t_i == start_tier and progress is not None:
+                    progress.add(len(sel))
+                drain_b(False)
+                if one:
+                    break
+
+        for s in range(0, len(pending), B):
+            sel = pending[s : s + B]
+            t0 = _time.perf_counter()
+            outs = self._run_batch(
+                [arun], layout, starts[sel], cnts[sel], B, K, J, params
+            )
+            stats["dispatch_s"] += _time.perf_counter() - t0
+            stats["batches"] += 1
+            inflight_a.append((sel, outs[0]))
+            drain_a(False)
+        while inflight_a:
+            drain_a(True)
+        while inflight_b:
+            drain_b(True)
+        cat = lambda xs: (
+            np.concatenate(xs) if xs else np.empty(0, np.int64)
+        )
+        return cat(still_far), cat(still_cap), cat(unresolved)
 
     # ------------------------------------------------------------------
 
@@ -1299,11 +1603,9 @@ class MappabilityEngine:
         else:
             if errors == 0:
                 return False  # the e=0 pre-pass would equal the main pass
-            if self.part_sharded:
-                return False  # pass-A keys need per-part interval outputs
             if self._dup_rate(layout, text, K, nkmers) < 0.3:
                 return False
-            P = len(self.indices)
+            P = len(self.data.parts)
             E_flo = [np.zeros(nkmers, np.uint32) for _ in range(P)]
             E_size = [np.zeros(nkmers, np.uint32) for _ in range(P)]
             c0 = np.zeros_like(c)

@@ -71,7 +71,20 @@ _COMP4 = np.array([3, 2, 1, 0], dtype=np.int32)
 _COMP5 = np.array([3, 2, 1, 0, 4], dtype=np.int32)
 
 
-SEED_T0 = 8  # max seeded prefix length; tables hold all levels 0..SEED_T0
+# Max seeded prefix length; tables hold all levels 0..t0 where t0 is chosen
+# per index part (seed_depth): deeper tables each replace one rank-gather
+# round of EVERY plan's infix scan (the probe's hot loop), and the size is
+# sum 4^t ~ (4/3)·4^t0 entries x 8 B — t0=12 is ~179 MB per part, paying for
+# itself at genome scale; small parts stop where their intervals are empty
+# anyway (and where the table build would dwarf the part).
+SEED_T0 = 12
+
+
+def seed_depth(n_total: int, t0_max: int = SEED_T0) -> int:
+    """Seed-table depth for a part of n_total (both-strand) symbols."""
+    import math
+
+    return max(1, min(t0_max, math.ceil(math.log(max(2, n_total), 4))))
 
 
 def seed_level_offset(t: int) -> int:
@@ -102,6 +115,9 @@ class DeviceIndex:
     has_n: bool = field(metadata={"static": True})
     sampling: int = field(metadata={"static": True})
     n_total: int = field(metadata={"static": True})
+    # depth of the attached seed tables (0 = disabled); static so the search
+    # engine's seeded-prefix length is a trace-time constant
+    seed_t0: int = field(default=0, metadata={"static": True})
 
     @property
     def has_seed(self) -> bool:
@@ -326,7 +342,7 @@ def comp_perm(A: int) -> np.ndarray:
     return _COMP5 if A == 5 else _COMP4
 
 
-def with_seed_tables(index: DeviceIndex, t0: int = SEED_T0) -> DeviceIndex:
+def with_seed_tables(index: DeviceIndex, t0: int | None = None) -> DeviceIndex:
     """Attach interval seed tables: the FMD interval of EVERY ACGT string of
     length 0..t0, levels concatenated (seed_level_offset).
 
@@ -336,11 +352,15 @@ def with_seed_tables(index: DeviceIndex, t0: int = SEED_T0) -> DeviceIndex:
     (and their rank-row gathers) with one table lookup per plan
     (search/engine.py).  Only (lo, size) are stored: the companion offset
     of w is seed_mlo[code(rc(w))] by strand symmetry.  Built on device in
-    O(4^t0) extension states (~milliseconds); 2 x 87k uint32 per part.
+    O(4^t0) extension states; depth defaults to seed_depth(n) — up to 12
+    levels (~179 MB per part) at genome scale, where each level deletes a
+    dependent-gather round from every block's infix scan.
     """
     import dataclasses
 
     n = index.n_total
+    if t0 is None:
+        t0 = seed_depth(n)
 
     @jax.jit
     def build(index):
@@ -360,7 +380,9 @@ def with_seed_tables(index: DeviceIndex, t0: int = SEED_T0) -> DeviceIndex:
         return jnp.concatenate(mlo_parts), jnp.concatenate(size_parts)
 
     seed_mlo, seed_size = build(index)
-    return dataclasses.replace(index, seed_mlo=seed_mlo, seed_size=seed_size)
+    return dataclasses.replace(
+        index, seed_mlo=seed_mlo, seed_size=seed_size, seed_t0=t0
+    )
 
 
 # ---------------------------------------------------------------------------

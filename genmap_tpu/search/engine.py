@@ -511,11 +511,11 @@ def _search_infix(index, plans, infix_off, needles, B, tier: Tier, n_total,
     # the first t_seed steps descend a single deterministic path per plan —
     # replaced by one interval-table lookup per plan (ops/rank.py
     # with_seed_tables) instead of t_seed rounds of rank-row gathers
-    from genmap_tpu.ops.rank import SEED_T0, seed_level_offset
+    from genmap_tpu.ops.rank import seed_level_offset
 
     t_seed = 0
     if index.has_seed:
-        t_seed = min(SEED_T0, T)
+        t_seed = min(index.seed_t0, T)
         while t_seed > 0 and u_s[:t_seed].max() > 0:
             t_seed -= 1
     S = max(S, t_seed)
@@ -670,11 +670,11 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
                                     tier.f_search / 4.0)
     pools = np.asarray(pools, np.int64)
 
-    from genmap_tpu.ops.rank import SEED_T0, seed_level_offset
+    from genmap_tpu.ops.rank import seed_level_offset
 
     t_seed = 0
     if index.has_seed:
-        t_seed = min(SEED_T0, T)
+        t_seed = min(index.seed_t0, T)
         while t_seed > 0 and u_s[:t_seed].max() > 0:
             t_seed -= 1
     Fp = int(pools[t_seed]) if t_seed < T else int(pools[-1])
@@ -1159,7 +1159,7 @@ def block_mapper_impl(
     index, needles, cnt, n_total, *, plans, infix_off, J, K, tier, errors,
     cap, rev_compl, with_states, exact_steps=64, n_static=None,
     probe_only=False, with_exact=False, pools=None, with_occ=False,
-    probe_cut=None,
+    probe_cut=None, collect_only=False,
 ):
     """One batch of the block mapper (shared by the single-part, data-sharded
     and part-sharded paths; `n_total` may be a traced scalar under the
@@ -1226,11 +1226,52 @@ def block_mapper_impl(
             bits = (sb << jnp.arange(32, dtype=_U32)).sum(axis=-1, dtype=_U32)
             return dict(skip_bits=bits)
         return dict(mass_p=mass_p, nwin=nwin, overflow=ovf1)
+    if collect_only:
+        # SPLIT-PIPELINE phase A: pack the infix survivors to the front of
+        # their (final-pool-width) slots and return the state tensors
+        # (device-resident).  The engine fetches only `surv` and routes each
+        # block to a phase-B extension program sized to its MEASURED
+        # survivor rung instead of the tier's worst case; extension
+        # overflows re-run only the extension at the next rung with the
+        # same device-resident states.  Packing at native width loses
+        # nothing: the survivor count is bounded by the final pool.
+        s_flo, s_rlo, s_size, s_err, s_valid = survivors[:5]
+        surv = jnp.clip(
+            s_valid.sum(axis=-1, dtype=_I32), 0, 65535
+        ).astype(jnp.uint16)
+        (c_flo, c_rlo, c_size, c_err), c_valid, _of = _compact(
+            (s_flo, s_rlo, s_size, s_err), s_valid, s_flo.shape[-1]
+        )
+        return dict(
+            flo=c_flo, rlo=c_rlo, size=c_size, err=c_err, valid=c_valid,
+            surv=surv, overflow=ovf1, overflow_cap=cap1,
+        )
     states, cap2, far2 = _extend_to_kmers(index, survivors, needles, Bl, J, K,
                                           tier, errors)
+    out = _count_tail(index, states, cnt, J, cap, rev_compl,
+                      with_states=with_states, with_exact=with_exact)
+    out["overflow"] = out["overflow"] | ovf1 | cap2 | far2
+    # capacity overflow reported separately: the engine escalates these
+    # straight to a wider tier (a same-size exact tier would re-overflow)
+    # while far-only blocks go to the next exact tier
+    out["overflow_cap"] = out["overflow_cap"] | cap1 | cap2
+    if with_occ:
+        out["occ"] = occ.T  # [B, T] for batch-axis sharding
+        # infix survivor count: the extension frontier's demand (the root
+        # node holds all survivors; splits never exceed it) — calibrates
+        # the cohort's f_extend
+        out["surv"] = jnp.clip(
+            survivors[4].sum(axis=-1, dtype=_I32), 0, 65535
+        ).astype(jnp.uint16)
+    return out
+
+
+def _count_tail(index, states, cnt, J, cap, rev_compl, with_states=False,
+                with_exact=False):
+    """Frequency counts (and CSV/exact outputs) from final extension states."""
+    from genmap_tpu.ops.rank import rc_strand_count
+
     flo, rlo, size, err, valid = states
-    ovf = ovf1 | cap2 | far2
-    ovf_cap = cap1 | cap2
 
     # the index covers both strands; size counts fwd + rc occurrences.
     # forward-only sizes (for -nc and for exact-duplicate detection) come
@@ -1248,20 +1289,9 @@ def block_mapper_impl(
     # bottleneck for result fetches
     out = dict(
         hits=jnp.where(valid_j, hits, 0).astype(jnp.uint16),
-        overflow=ovf,
-        # capacity overflow reported separately: the engine escalates these
-        # straight to a wider tier (a same-size exact tier would re-overflow)
-        # while far-only blocks go to the next exact tier
-        overflow_cap=ovf_cap,
+        overflow=jnp.zeros(hits.shape[:-1], bool),
+        overflow_cap=jnp.zeros(hits.shape[:-1], bool),
     )
-    if with_occ:
-        out["occ"] = occ.T  # [B, T] for batch-axis sharding
-        # infix survivor count: the extension frontier's demand (the root
-        # node holds all survivors; splits never exceed it) — calibrates
-        # the cohort's f_extend
-        out["surv"] = jnp.clip(
-            survivors[4].sum(axis=-1, dtype=_I32), 0, 65535
-        ).astype(jnp.uint16)
     if with_exact or with_states:
         exact_mask = valid & (err == 0)
         exact_total = jnp.where(exact_mask, size, 0).sum(axis=-1, dtype=_U32)
@@ -1298,6 +1328,7 @@ def make_block_mapper(
     pools=None,
     with_occ: bool = False,
     probe_cut=None,
+    collect_only: bool = False,
 ):
     """Build the jitted batch mapper for one configuration.
 
@@ -1340,13 +1371,20 @@ def make_block_mapper(
             J=J, K=K, tier=tier, errors=errors, cap=cap, rev_compl=rev_compl,
             with_states=with_states, exact_steps=ex_steps,
             probe_only=probe_only, with_exact=with_exact, pools=pools,
-            with_occ=with_occ, probe_cut=probe_cut,
+            with_occ=with_occ, probe_cut=probe_cut, collect_only=collect_only,
         )
 
     def _attach_warm(run, run_jit, batch_sharding=None):
         """`run.warm()` AOT-compiles the program without executing it — the
         engine overlaps escalation-tier compiles with tier-0 execution
-        (remote TPU compiles cost minutes cold, NOTES.md)."""
+        (remote TPU compiles cost minutes cold, NOTES.md).
+
+        `run.run_jit` / `run.index` / `run.dtext` expose the underlying
+        jitted impl and its array arguments: a caller embedding the mapper
+        inside an OUTER jit (bench.py's in-graph scan loops) must pass the
+        index as runtime arguments — calling `run` under a trace bakes the
+        multi-GB rank tables into the program as literals, which the remote
+        compile service rejects (HTTP 413) at genome scale."""
 
         def warm():
             st = jax.ShapeDtypeStruct((B,), jnp.uint32,
@@ -1357,6 +1395,9 @@ def make_block_mapper(
             run_jit.lower(index, dtext, st, ct, lim).compile()
 
         run.warm = warm
+        run.run_jit = run_jit
+        run.index = index
+        run.dtext = dtext
         return run
 
     if mesh is None:
@@ -1385,3 +1426,62 @@ def make_block_mapper(
         return run_jit(index, dtext, starts, cnt, limit)
 
     return _attach_warm(run, run_jit, NamedSharding(mesh, P("data")))
+
+
+def make_extender(
+    index: DeviceIndex,
+    dtext,
+    *,
+    K: int,
+    errors: int,
+    overlap: int,
+    J: int,
+    B: int,
+    Fe: int,
+    cap: int,
+    rev_compl: bool,
+    exact: bool,
+    dimer: bool = False,
+):
+    """Phase-B program of the split pipeline: extend device-resident infix
+    survivor states to every k-mer window, sized to an Fe RUNG.
+
+    The engine fetches only each block's survivor count from the phase-A
+    collector, buckets blocks into power-of-4 Fe rungs, gathers their state
+    tensors ON DEVICE into a rung batch, and runs this program — so
+    extension work scales with each block's measured demand instead of a
+    whole cohort padding to its worst member, and an extension overflow
+    re-runs ONLY the extension at the next rung (the infix never repeats).
+    Escalation semantics stay exact: rung capacity (like tier capacity)
+    only affects speed.
+
+    `exact=False` uses the one-gather fast rank path; far-flagged blocks
+    re-run on the exact variant at the same rung."""
+    tier = Tier(4, max(4, Fe), Fe, exact=exact, dimer=dimer,
+                ext_exact=exact)
+    Ln = K + J - 1
+
+    from genmap_tpu.ops.rank import extract_needles
+
+    def run_impl(index, dtext, starts, cnt, limit, flo, rlo, size, err, valid):
+        needles = extract_needles(dtext, starts, Ln, limit)
+        states, cap2, far2 = _extend_to_kmers(
+            index, (flo, rlo, size, err, valid), needles, B, J, K, tier,
+            errors,
+        )
+        out = _count_tail(index, states, cnt, J, cap, rev_compl)
+        out["overflow"] = out["overflow"] | cap2 | far2
+        out["overflow_cap"] = out["overflow_cap"] | cap2
+        return out
+
+    run_jit = jax.jit(run_impl)
+
+    def run(starts, cnt, limit, states):
+        flo, rlo, size, err, valid = states
+        return run_jit(index, dtext, starts, cnt, limit, flo, rlo, size, err,
+                       valid)
+
+    run.run_jit = run_jit
+    run.index = index
+    run.dtext = dtext
+    return run

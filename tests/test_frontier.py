@@ -65,7 +65,6 @@ def test_seed_tables_match_backward_search(with_n):
     from genmap_tpu.index.build import build_index
     from genmap_tpu.io.fasta import FastaFile
     from genmap_tpu.ops.rank import (
-        SEED_T0,
         DeviceIndex,
         extend_all,
         seed_level_offset,
@@ -82,7 +81,7 @@ def test_seed_tables_match_backward_search(with_n):
     index = DeviceIndex.from_host(data)
     assert index.has_seed
 
-    for t in (1, 3, SEED_T0):
+    for t in (1, 3, index.seed_t0):
         off = seed_level_offset(t)
         for _ in range(5):
             w = rng.integers(0, 4, size=t)

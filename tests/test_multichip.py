@@ -87,10 +87,11 @@ def test_part_sharded_matches_single():
 
 
 @pytest.mark.slow
-def test_part_sharded_csv_fallback():
-    """CSV + exclude-pseudo on a part x data mesh must route to the
-    replicated per-part fallback (VERDICT r3: was a hard assert) and match
-    the single-device result exactly."""
+def test_part_sharded_csv_native():
+    """CSV + exclude-pseudo on a part x data mesh runs NATIVELY (states
+    all_gathered over 'part', locate on each part's own device group —
+    no replicated fallback, VERDICT r4 task 5) and must match the
+    single-device result exactly."""
     import jax
 
     assert len(jax.devices()) >= 8
@@ -123,3 +124,81 @@ def test_part_sharded_csv_fallback():
         for a, b in zip(res1.locations[k], resp.locations[k]):
             for x, y in zip(a, b):
                 np.testing.assert_array_equal(x, y)
+
+
+def test_part_sharded_probe_and_dimer():
+    """Feature parity on the part x data mesh (VERDICT r4 task 3): the
+    unique-infix probe (per-plan masses psum over 'part', on-device bits),
+    the seeded prefix and the dimer tier all run under the mesh and must be
+    invisible in results vs the probe-disabled single-device engine."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(11)
+    n = 140_000
+    s = rng.integers(0, 4, size=n, dtype=np.uint8)
+    s[n // 2 : n // 2 + 3000] = np.tile(s[1000:1300], 10)  # repeat region
+    ff = FastaFile(name="g.fa")
+    ff.ids = ["c1", "c2"]
+    ff.seqs = [s[: n // 2], s[n // 2 :]]
+    data = build_index([ff], sampling=5, max_part_symbols=160_000)
+    assert len(data.parts) == 2
+    assert all(p.dimer is not None for p in data.parts)
+
+    K, e, o = 64, 1, 33  # J=32: extension-dominated -> probe engages
+    params = SearchParams(length=K, overlap=o, rev_compl=True)
+
+    eng1 = MappabilityEngine(data, batch_blocks=512, dedup=False)
+    eng1._probe_enabled = False
+    res1 = eng1.compute_file(eng1.layouts[0], params, errors=e, cap=65535)
+
+    from genmap_tpu.parallel.partmesh import part_data_mesh
+
+    mesh = part_data_mesh(2, 8)
+    engp = MappabilityEngine(data, batch_blocks=512, mesh=mesh, dedup=False,
+                             dimer_tier=True)
+    assert engp.part_sharded
+    assert engp.stacked["has_dimer"]
+    resp = engp.compute_file(engp.layouts[0], params, errors=e, cap=65535)
+    assert engp.stats["probe_skipped"] > 0, "probe did not engage on the mesh"
+    np.testing.assert_array_equal(res1.c, resp.c)
+
+
+def test_part_sharded_calibration():
+    """Occupancy calibration runs under the part mesh (occ pmax over
+    'part') and stays invisible in results."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(13)
+    core = rng.integers(0, 4, size=6000, dtype=np.uint8)
+    parts = []
+    for _ in range(20):
+        seg = core[rng.integers(0, 5000) :][: rng.integers(200, 800)].copy()
+        idx = rng.integers(0, len(seg), max(1, len(seg) // 60))
+        seg[idx] = rng.integers(0, 4, len(idx))
+        parts.append(seg)
+        parts.append(rng.integers(0, 4, size=400, dtype=np.uint8))
+    s = np.concatenate(parts).astype(np.uint8)
+    ff = FastaFile(name="g.fa")
+    ff.ids = ["c1", "c2"]
+    ff.seqs = [s[: len(s) // 2], s[len(s) // 2 :]]
+    data = build_index([ff], sampling=5, max_part_symbols=len(s) + 10_000)
+    assert len(data.parts) == 2
+
+    K, e, o = 18, 1, 15
+    params = SearchParams(length=K, overlap=o, rev_compl=True)
+    eng1 = MappabilityEngine(data, batch_blocks=256, dedup=False)
+    eng1._calibrate_enabled = False
+    res1 = eng1.compute_file(eng1.layouts[0], params, errors=e, cap=65535)
+
+    from genmap_tpu.parallel.partmesh import part_data_mesh
+
+    mesh = part_data_mesh(2, 8)
+    engp = MappabilityEngine(data, batch_blocks=256, mesh=mesh, dedup=False)
+    engp._cal_batch = 96
+    resp = engp.compute_file(engp.layouts[0], params, errors=e, cap=65535)
+    assert any(k[:3] == (K, e, o) for k in engp._tuned_pools), (
+        "calibration did not run on the part mesh"
+    )
+    np.testing.assert_array_equal(res1.c, resp.c)

@@ -29,7 +29,7 @@ from genmap_tpu.engine.mappability import (  # noqa: E402
 )
 from genmap_tpu.index.build import build_index  # noqa: E402
 from genmap_tpu.io.fasta import FastaFile  # noqa: E402
-from genmap_tpu.ops.rank import SEED_T0, DeviceIndex  # noqa: E402
+from genmap_tpu.ops.rank import DeviceIndex  # noqa: E402
 from genmap_tpu.search.engine import (  # noqa: E402
     Tier,
     _plan_schedule,
@@ -85,7 +85,7 @@ def test_dimer_cut_mass_equals_mono_at_transitions():
         c
         for t in trans
         for c in (t - 1, t, t + 1)
-        if SEED_T0 < c < T  # engine cuts always exceed the seeded prefix
+        if index.seed_t0 < c < T  # engine cuts always exceed the seeded prefix
     )
     assert cuts, "expected lreq transitions for e=2 plans"
 
