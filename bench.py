@@ -96,20 +96,24 @@ class Results:
         return self.d.get(key, default)
 
 
-def stage(results: Results, name: str):
-    """Decorator-ish runner: execute fn, store result, never raise."""
+def stage(results: Results, name: str, retries: int = 1):
+    """Decorator-ish runner: execute fn (with retries — the remote compile
+    service throws transient HTTP errors), store result, never raise."""
 
     def run(fn, *a, **kw):
-        try:
-            out = fn(*a, **kw)
-            if out is not None:
-                results.set(name, out)
-            return out
-        except Exception as e:
-            print(f"# stage {name} FAILED: {e!r}", file=sys.stderr)
-            traceback.print_exc()
-            results.set(name + "_error", repr(e))
-            return None
+        for attempt in range(retries + 1):
+            try:
+                out = fn(*a, **kw)
+                if out is not None:
+                    results.set(name, out)
+                return out
+            except Exception as e:
+                print(f"# stage {name} attempt {attempt} FAILED: {e!r}",
+                      file=sys.stderr)
+                traceback.print_exc()
+                results.set(name + "_error", repr(e))
+                time.sleep(15)
+        return None
 
     return run
 
@@ -303,7 +307,7 @@ def _main_measure(results: Results) -> None:
                   f"{dict(sorted(st['tier_blocks'].items()))}]", file=sys.stderr)
         return {"kmers": nk_h, "best_s": best, "kmers_per_sec": nk_h / best}
 
-    stage(results, "engine_e2e")(run_e2e)
+    e2e_res = stage(results, "engine_e2e", retries=2)(run_e2e)
 
     import dataclasses
     import math
@@ -365,7 +369,10 @@ def _main_measure(results: Results) -> None:
         return {"t_probe": t_probe, "skip_frac": skip_frac,
                 "blocks": NB * B, "dimer": bool(ptier.dimer)}
 
-    probe_res = stage(results, "probe")(run_probe)
+    # the replay cohorts come from the e2e run's recorded tier/rung
+    # selections — a failed e2e leaves them incomplete, and a headline built
+    # on them would silently omit the heaviest cells
+    probe_res = stage(results, "probe")(run_probe) if e2e_res else None
 
     # ---- tier replay: every escalation tier's cohort, measured in-graph ---
     # The engine recorded WHICH blocks it processed at each tier during the
@@ -447,7 +454,7 @@ def _main_measure(results: Results) -> None:
         per_cell = {}
         # blocks that dispatched an extender per tier (final A attempts)
         b_by_tier: dict = {}
-        for (t_i, Fe, exact), lists in rung_sel.items():
+        for (t_i, Fe, exact, dimer), lists in rung_sel.items():
             b_by_tier.setdefault(t_i, set()).update(
                 np.concatenate(lists).tolist()
             )
@@ -481,8 +488,8 @@ def _main_measure(results: Results) -> None:
             t_res += tc
             per_cell[f"A{t_i}"] = {"blocks": len(ids), "t_s": tc}
         # ---- chain cells: collector@t -> extender@rung --------------------
-        for (t_i, Fe, exact) in sorted(rung_sel):
-            ids = np.concatenate(rung_sel[(t_i, Fe, exact)])
+        for (t_i, Fe, exact, dimer) in sorted(rung_sel):
+            ids = np.concatenate(rung_sel[(t_i, Fe, exact, dimer)])
             tier_c = tiers_by_idx[t_i]
             pools_c = pools_by_tier.get(t_i)
             peak = max(pmax_of(t_i), J * Fe, 1)
@@ -490,9 +497,12 @@ def _main_measure(results: Results) -> None:
                      max(64, 1 << int(np.ceil(np.log2(max(2, len(ids)))))))
             arun = eng._runner(0, K, errors, o, J, Bc, tier_c, 65535, True,
                                False, pools=pools_c, collect_only=True)
+            sched = eng._ext_sched.get((K, errors, o, Fe, exact, dimer))
             brun = make_extender(
                 eng.indices[0], eng.dtext, K=K, errors=errors, overlap=o,
                 J=J, B=Bc, Fe=Fe, cap=65535, rev_compl=True, exact=exact,
+                dimer=dimer,
+                fe_sched=sched if isinstance(sched, tuple) else None,
             )
 
             def cstep(index, dtext, st, ct, arun=arun, brun=brun, Fe=Fe):
@@ -516,10 +526,10 @@ def _main_measure(results: Results) -> None:
 
             tc = timed_scan(
                 ids, Bc, cstep, f"tier {t_i} chain rung {Fe}"
-                f"{'x' if exact else 'f'}"
+                f"{'x' if exact else 'f'}{'d' if dimer else ''}"
             )
             t_res += tc
-            per_cell[f"C{t_i}.{Fe}.{int(exact)}"] = {
+            per_cell[f"C{t_i}.{Fe}.{int(exact)}.{int(dimer)}"] = {
                 "blocks": len(ids), "t_s": tc,
             }
         # the e2e slice and the probe batch cover the same corpus prefix, so
@@ -530,7 +540,7 @@ def _main_measure(results: Results) -> None:
               f"{t_res:.2f}s", file=sys.stderr)
         return {"t_res": t_res, "per_cell": per_cell}
 
-    replay_res = stage(results, "replay")(run_replay)
+    replay_res = stage(results, "replay")(run_replay) if e2e_res else None
 
     if probe_res is not None and replay_res is not None:
         t_eff = probe_res["t_probe"] + replay_res["t_res"]

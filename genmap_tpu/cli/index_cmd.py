@@ -14,6 +14,18 @@ from genmap_tpu.index.build import build_index
 from genmap_tpu.io.fasta import FASTA_FILE_TYPES, find_fasta_files, read_fasta
 
 
+def _mem_available_bytes() -> int | None:
+    """MemAvailable from /proc/meminfo (None where unsupported)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
+
 def index_main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="genmap-tpu index", add_help=True)
     p.add_argument("-F", "--fasta-file")
@@ -118,10 +130,39 @@ def index_main(argv: list[str]) -> int:
         )
     from genmap_tpu.index.build import MAX_PART_SYMBOLS
 
+    max_part = args.max_part_symbols or MAX_PART_SYMBOLS
+    if not args.max_part_symbols:
+        # Auto-derive the part-size cap from available host RAM (VERDICT r4
+        # task 9): SA-IS construction peaks at ~17-28 bytes per both-strand
+        # symbol, so a default hg38-scale build (one ~6.2e9-symbol pair of
+        # uint32 parts) would OOM a 32 GB host unless the user knows the
+        # hidden -xm flag.  Cap parts so the peak fits in ~80% of
+        # MemAvailable (divided across -T concurrent part builds); parts
+        # only affect speed/memory, never results.
+        avail = _mem_available_bytes()
+        if avail is not None:
+            workers = max(1, args.threads)
+            ram_cap = int(0.8 * avail / (28 * workers))
+            ram_cap = max(ram_cap, 1 << 26)  # never below 64M symbols
+            if ram_cap < max_part:
+                total_syms = 2 * sum(
+                    sum(len(s) + 1 for s in ff.seqs) for ff in fasta_files
+                )
+                if total_syms > ram_cap:
+                    max_part = ram_cap
+                    print(
+                        f"NOTE: capping index parts at {max_part:,} "
+                        f"both-strand symbols to fit available RAM "
+                        f"({avail / 2**30:.1f} GiB; ~28 B/symbol SA-IS "
+                        f"peak x {workers} concurrent builds). Override "
+                        f"with -xm.",
+                        file=sys.stderr,
+                    )
+
     data = build_index(fasta_files, sampling=args.sampling,
                        directory=bool(args.fasta_directory),
                        dimer_parts=args.dimer_parts,
-                       max_part_symbols=args.max_part_symbols or MAX_PART_SYMBOLS,
+                       max_part_symbols=max_part,
                        workers=max(1, args.threads))
     if args.verbose:
         print(f"Index will be constructed using "

@@ -183,6 +183,9 @@ class MappabilityEngine:
         # measured flat optimum 14-26 on genome-like text, r4)
         self._probe_cut_slack = 14
         self._tuned_pools: dict = {}
+        # measured per-level extension frontier schedules, {(K, e, o, rung,
+        # exact): tuple | "flat" | "measuring"} (split pipeline)
+        self._ext_sched: dict = {}
         self._warm_queue = None  # lazy single-daemon-thread AOT-compile worker
         # opt-in: record the block ids processed per tier (bench replay)
         self._record_tier_sel = False
@@ -253,14 +256,17 @@ class MappabilityEngine:
             )
         return self._runners[key]
 
-    def _extender(self, K, errors, o, J, B2, Fe, cap, rev_compl, exact):
-        key = ("ext", K, errors, o, J, B2, Fe, cap, rev_compl, exact)
+    def _extender(self, K, errors, o, J, B2, Fe, cap, rev_compl, exact,
+                  dimer=False, fe_sched=None, with_occ=False):
+        key = ("ext", K, errors, o, J, B2, Fe, cap, rev_compl, exact, dimer,
+               fe_sched, with_occ)
         if key not in self._runners:
             from genmap_tpu.search.engine import make_extender
 
             self._runners[key] = make_extender(
                 self.indices[0], self.dtext, K=K, errors=errors, overlap=o,
                 J=J, B=B2, Fe=Fe, cap=cap, rev_compl=rev_compl, exact=exact,
+                dimer=dimer, fe_sched=fe_sched, with_occ=with_occ,
             )
         return self._runners[key]
 
@@ -1132,7 +1138,7 @@ class MappabilityEngine:
                 far_blocks, cap_blocks, unres = self._run_tier_split(
                     t_i, tier, pending, B, tuned_i, c, layout, starts, cnts,
                     K, o, J, errors, cap, params, progress, start_tier,
-                    SLOTS,
+                    SLOTS, dimer_ext=dimer_esc,
                 )
                 if len(unres):
                     unresolved_other.append(unres)
@@ -1391,14 +1397,20 @@ class MappabilityEngine:
     # cohort re-ran everything because of extension overflow alone).
 
     # extension rung ladder + the rung from which extension starts on the
-    # exact two-gather path (wide-interval blocks would far-flag the fast
-    # window anyway and pay a second pass)
-    _RUNGS = (4, 16, 64, 256, 1024, 4096, 16384, 32768)
-    _EXACT_RUNG_MIN = 256
+    # exact two-gather path (below it, fast one-gather extension runs first
+    # and far-flagged blocks re-run exact).  pow2 rungs: the pow4 ladder
+    # padded the dominant genome-like cells ~2x (measured r5).  Mode ladder
+    # per block: fast-dimer -> exact-dimer -> exact-mono (far advances the
+    # mode at the same rung; capacity overflow advances the rung).
+    _RUNGS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
+              16384, 32768)
+    _EXACT_RUNG_MIN = 1024
+    _DIMER_RUNG_MIN = 16  # dimer's 16-wide candidate axis amortizes here
 
     def _run_tier_split(
         self, t_i, tier, pending, B, tuned_i, c, layout, starts, cnts,
         K, o, J, errors, cap, params, progress, start_tier, SLOTS,
+        dimer_ext=False,
     ):
         """One tier of the split pipeline (single part, no mesh, no CSV).
 
@@ -1436,7 +1448,7 @@ class MappabilityEngine:
             b = max(2, SLOTS // max(1, J * Fe))
             return min(4096, 1 << int(np.log2(b)))
 
-        def dispatch_b(a_out, rows, gids, Fe, exact):
+        def dispatch_b(a_out, rows, gids, Fe, exact, dimer):
             B2 = b_batch_size(Fe)
             for s in range(0, len(rows), B2):
                 rs = np.asarray(rows[s : s + B2], np.int32)
@@ -1464,22 +1476,39 @@ class MappabilityEngine:
                 gstarts[:n] = (layout.start + starts[gs]).astype(np.uint32)
                 bcnts = np.zeros(npad, np.int32)
                 bcnts[:n] = cnts[gs]
+                # per-level extension schedule: the first big-enough batch
+                # of a rung measures per-level demand; later batches run a
+                # decayed frontier schedule (demand shrinks down the tree)
+                skey = (K, errors, o, Fe, exact, dimer)
+                entry = self._ext_sched.get(skey)
+                sched = entry if isinstance(entry, tuple) else None
+                measure = (
+                    entry is None and Fe >= 64 and Fe < self._RUNGS[-1]
+                    and n >= 32
+                )
+                if measure:
+                    self._ext_sched[skey] = "measuring"
                 run_b = self._extender(K, errors, o, J, npad, Fe, cap,
-                                       params.rev_compl, exact)
+                                       params.rev_compl, exact, dimer=dimer,
+                                       fe_sched=sched, with_occ=measure)
                 t0 = _time.perf_counter()
                 out = run_b(gstarts, bcnts, limit, st)
                 stats["dispatch_s"] += _time.perf_counter() - t0
-                inflight_b.append((gs, a_out, rs, Fe, exact, out))
+                inflight_b.append(
+                    (gs, a_out, rs, Fe, exact, dimer, out, measure)
+                )
                 if self._record_tier_sel:
-                    # keyed by (A tier, rung, exact): the bench replays each
-                    # cell as one in-graph collector+extender chain
+                    # keyed by (A tier, rung, exact, dimer): the bench
+                    # replays each cell as one in-graph collector+extender
+                    # chain
                     self.stats.setdefault("rung_sel", {}).setdefault(
-                        (t_i, Fe, exact), []
+                        (t_i, Fe, exact, dimer), []
                     ).append(gs)
 
         def drain_b(one):
             while inflight_b and (len(inflight_b) >= 4 or one):
-                gs, a_out, rs, Fe, exact, out = inflight_b.pop(0)
+                (gs, a_out, rs, Fe, exact, dimer, out,
+                 measure) = inflight_b.pop(0)
                 t0 = _time.perf_counter()
                 hits = np.asarray(out["hits"])
                 ovf = np.asarray(out["overflow"])
@@ -1487,6 +1516,35 @@ class MappabilityEngine:
                 stats["fetch_s"] += _time.perf_counter() - t0
                 n = len(gs)
                 ok = ~ovf[:n]
+                if measure:
+                    skey = (K, errors, o, Fe, exact, dimer)
+                    if ok.sum() >= 16:
+                        occ = np.asarray(out["ext_occ"])[:n][ok].astype(
+                            np.int64
+                        )
+                        dem = occ.max(axis=0).astype(np.float64)
+                        # one level behind: the compaction INTO level l must
+                        # hold level l-1's survivors
+                        dem[1:] = np.maximum(dem[1:], dem[:-1])
+                        sched = np.array(
+                            [
+                                min(Fe, max(4, 1 << int(np.ceil(
+                                    np.log2(max(4.0, 1.2 * d + 1.0))
+                                ))))
+                                for d in dem
+                            ],
+                            np.int64,
+                        )
+                        # adopt only a real shrink: equal-width schedules
+                        # just add program variants
+                        if sched.sum() < 0.85 * Fe * len(dem):
+                            self._ext_sched[skey] = tuple(
+                                int(x) for x in sched
+                            )
+                        else:
+                            self._ext_sched[skey] = "flat"
+                    else:
+                        self._ext_sched[skey] = "flat"
                 t0 = _time.perf_counter()
                 for i in np.nonzero(ok)[0]:
                     i0 = int(starts[gs[i]])
@@ -1498,8 +1556,15 @@ class MappabilityEngine:
                     capb = ovfc[:n][bad]
                     far_rows = bad[~capb]
                     if len(far_rows):
-                        # fast-window miss: exact gathers at the same rung
-                        dispatch_b(a_out, rs[far_rows], gs[far_rows], Fe, True)
+                        # far: advance the mode ladder at the same rung —
+                        # fast-dimer -> exact-dimer (window was too narrow)
+                        # -> exact-mono (flagged dimer sub-block)
+                        if dimer and not exact:
+                            nm = (True, True)
+                        else:
+                            nm = (True, False)
+                        dispatch_b(a_out, rs[far_rows], gs[far_rows], Fe,
+                                   *nm)
                     cap_rows = bad[capb]
                     if len(cap_rows):
                         nxt = next(
@@ -1508,8 +1573,11 @@ class MappabilityEngine:
                         if nxt is None:
                             unresolved.append(gs[cap_rows])
                         else:
-                            dispatch_b(a_out, rs[cap_rows], gs[cap_rows], nxt,
-                                       exact or nxt >= self._EXACT_RUNG_MIN)
+                            dispatch_b(
+                                a_out, rs[cap_rows], gs[cap_rows], nxt,
+                                exact or nxt >= self._EXACT_RUNG_MIN,
+                                dimer and nxt >= self._DIMER_RUNG_MIN,
+                            )
                 if one:
                     break
 
@@ -1543,8 +1611,11 @@ class MappabilityEngine:
                     rungs = np.array([rung_of(s) for s in surv[live]])
                     for r in np.unique(rungs):
                         m = rungs == r
-                        dispatch_b(a_out, live[m], sel[live[m]], int(r),
-                                   int(r) >= self._EXACT_RUNG_MIN)
+                        dispatch_b(
+                            a_out, live[m], sel[live[m]], int(r),
+                            int(r) >= self._EXACT_RUNG_MIN,
+                            dimer_ext and int(r) >= self._DIMER_RUNG_MIN,
+                        )
                 if t_i == start_tier and progress is not None:
                     progress.add(len(sel))
                 drain_b(False)
@@ -1745,12 +1816,16 @@ class MappabilityEngine:
 
         `per_part` is a list of (exact_size_total, exact_flo, states) per
         index part; located rows of all parts are merged per k-mer (global
-        sequence ids make the merge order-free; lists are sorted afterwards).
+        sequence ids make the merge order-free).  Fully array-based
+        (VERDICT r4 task 6): one global lexsort groups rows by
+        (k-mer, kind, strand) with per-key work reduced to array-view
+        slicing — the previous per-k-mer/per-row python loops were
+        host-bound at marker-discovery scale.
         """
-        per_kmer: dict[tuple[int, int], dict] = {}
         nb = len(bstarts)
         J = per_part[0][2][1].shape[1] if per_part else 0
         jmask = (np.arange(J)[None, :] < np.asarray(bcnts)[:, None]) & np.asarray(ok)[:, None]
+        kb_l, kj_l, kk_l, i1_l, i2_l = [], [], [], [], []
         for pi, (exact_size_total, exact_flo, states) in enumerate(per_part):
             flo, size, err, valid = states
             # vectorized job collection (the B x J x F python loop was the
@@ -1776,46 +1851,91 @@ class MappabilityEngine:
             all_rows = np.repeat(all_flos - offs, all_sizes) + np.arange(total)
             i1, i2 = self.locate_many(pi, all_rows)
 
-            kinds = ["all"] * len(bs) + ["exact"] * len(ebs)
-            for kind, b, j, off, n in zip(
-                kinds,
-                np.concatenate([bs, ebs]),
-                np.concatenate([js, ejs]),
-                offs,
+            kb_l.append(np.repeat(np.concatenate([bs, ebs]), all_sizes))
+            kj_l.append(np.repeat(np.concatenate([js, ejs]), all_sizes))
+            kk_l.append(np.repeat(
+                np.concatenate([np.zeros(len(bs), np.int8),
+                                np.ones(len(ebs), np.int8)]),
                 all_sizes,
-            ):
-                d = per_kmer.setdefault((int(b), int(j)), {"all": [], "exact": []})
-                d[kind].append((i1[off : off + n], i2[off : off + n]))
+            ))
+            i1_l.append(i1.astype(np.int64))
+            i2_l.append(i2.astype(np.int64))
+        if not kb_l:
+            return
+        kb = np.concatenate(kb_l)
+        kj = np.concatenate(kj_l)
+        kk = np.concatenate(kk_l)
+        g1 = np.concatenate(i1_l)
+        g2 = np.concatenate(i2_l)
 
-        directory = self.data.directory
         nseq = self.data.nseq
-        for (b, j), d in per_kmer.items():
+        directory = self.data.directory
+        seq_lens = self.data.seq_lens.astype(np.int64)
+        # strand split + rc coordinate mapping, vectorized once: a row in
+        # the rc half (i1 >= nseq) at position p in rc(seq s) is an
+        # occurrence of rc(pattern) in seq s at len_s - K - p
+        is_rc = g1 >= nseq
+        a1 = np.where(is_rc, g1 - nseq, g1)
+        a2 = np.where(is_rc, seq_lens[a1] - K - g2, g2)
+        # group rows by (b, j, kind, strand), position-sorted within
+        order = np.lexsort((a2, a1, is_rc, kk, kj, kb))
+        kb, kj, kk, a1, a2, is_rc = (
+            x[order] for x in (kb, kj, kk, a1, a2, is_rc)
+        )
+        # segment boundaries of the (b, j) groups and of the finer
+        # (b, j, kind, strand) runs
+        key_bj = kb.astype(np.int64) * (J + 1) + kj
+        bj_bounds = np.flatnonzero(np.diff(key_bj)) + 1
+        bj_starts = np.concatenate([[0], bj_bounds])
+        bj_ends = np.concatenate([bj_bounds, [len(kb)]])
+
+        if params.exclude_pseudo:
+            # distinct FILES per k-mer over both strands ("all" rows only;
+            # rc occurrences only count under -r/rev_compl)
+            allm = (kk == 0) & (params.rev_compl | ~is_rc)
+            bj_ids = np.cumsum(
+                np.concatenate([[0], np.diff(key_bj) != 0])
+            )  # dense group ordinal per row
+            fkey = (
+                bj_ids[allm] * np.int64(self.n_files)
+                + self.seq_file_id[a1[allm]]
+            )
+            ubj = np.unique(fkey) // self.n_files
+            cnts_f = np.bincount(ubj, minlength=int(bj_ids.max()) + 1 if len(bj_ids) else 0)
+            for s0, e0 in zip(bj_starts, bj_ends):
+                b, j = int(kb[s0]), int(kj[s0])
+                p = int(bstarts[b]) + j
+                gid = int(bj_ids[s0])
+                nf = int(cnts_f[gid]) if gid < len(cnts_f) else 0
+                c[p] = min(nf, cap)
+
+        if not csv_out:
+            return
+
+        empty = np.empty(0, np.int64)
+        for s0, e0 in zip(bj_starts, bj_ends):
+            b, j = int(kb[s0]), int(kj[s0])
             p = int(bstarts[b]) + j
-
-            a1 = np.concatenate([x[0] for x in d["all"]]) if d["all"] else np.empty(0, np.int64)
-            a2 = np.concatenate([x[1] for x in d["all"]]) if d["all"] else np.empty(0, np.int64)
-            (f1, f2), (r1, r2) = self._split_strand(a1, a2, K)
-            if not params.rev_compl:
-                r1, r2 = np.empty(0, np.int64), np.empty(0, np.int64)
-
-            if params.exclude_pseudo:
-                files = set(self.seq_file_id[f1]) | set(self.seq_file_id[r1])
-                c[p] = min(len(files), cap)
-
-            if not csv_out:
-                continue
-
+            seg = slice(s0, e0)
+            ks, rs = kk[seg], is_rc[seg]
+            s_a1, s_a2 = a1[seg], a2[seg]
+            am = ks == 0
+            fm = am & ~rs
+            rm = am & rs
+            f1, f2 = s_a1[fm], s_a2[fm]
+            if params.rev_compl:
+                r1, r2 = s_a1[rm], s_a2[rm]
+            else:
+                r1, r2 = empty, empty
             entry = ((f1, f2), (r1, r2))
+
             if not directory and int(exact_size[b, j]) > 1:
-                e1 = np.concatenate([x[0] for x in d["exact"]])
-                e2 = np.concatenate([x[1] for x in d["exact"]])
-                fwd_exact = e1 < nseq  # key placement uses fwd occurrences only
-                for q1, q2 in zip(
-                    e1[fwd_exact].astype(np.int64), e2[fwd_exact].astype(np.int64)
-                ):
-                    if q2 <= int(self.data.seq_lens[q1]) - K:
-                        locations[(int(q1), int(q2))] = entry
-            elif len(f1) + len(r1) > 0:
+                em_ = (ks == 1) & ~rs  # key placement: fwd exact occurrences
+                q1s, q2s = s_a1[em_], s_a2[em_]
+                okq = q2s <= seq_lens[q1s] - K
+                for q1, q2 in zip(q1s[okq], q2s[okq]):
+                    locations[(int(q1), int(q2))] = entry
+            elif len(f1) + (len(r1) if params.rev_compl else 0) > 0:
                 # localize p within this file's chromosomes
                 s = int(np.searchsorted(layout.cum_lens, p, side="right") - 1)
                 i2p = p - int(layout.cum_lens[s])

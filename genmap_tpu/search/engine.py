@@ -905,16 +905,18 @@ def _search_infix_dimer(index, plans, infix_off, needles, B, tier: Tier,
 
 
 def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors,
-               exact):
+               exact, with_occ=False):
     """One mixed-direction extension scan over a [B, M, Fe] frontier.
 
     pos_arr / right_arr / act_arr: [T, M] static needle position, direction
     and activity per (step, slot).  Slots may move in different directions in
     the same step (one shared gather, see _candidate_step_dir); inactive
-    slots pass through.
+    slots pass through.  `with_occ` returns (state, occ[B]): the max over
+    steps and nodes of the per-(block, node) candidate count (the extension
+    pool-schedule calibration signal).
     """
     if len(pos_arr) == 0:
-        return state
+        return (state, jnp.zeros(state[0].shape[0], _I32)) if with_occ else state
     xs = (
         jnp.asarray(pos_arr, _I32),
         jnp.asarray(right_arr),
@@ -922,7 +924,8 @@ def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors,
     )
 
     def body(carry, x):
-        flo, rlo, size, err, valid, ovf_cap, ovf_far = carry
+        *st, occ = carry
+        flo, rlo, size, err, valid, ovf_cap, ovf_far = st
         pos, rightv, act = x  # [M] each
         nch = needles[:, pos].astype(_U32)[:, :, None]  # [B, M, 1]
         nflo, nrlo, nsize, err2, valid2, far = _candidate_step_dir(
@@ -940,13 +943,17 @@ def _ext_phase(index, state, needles, pos_arr, right_arr, act_arr, Fe, errors,
         valid2 = jnp.where(actb, valid2, valid[..., None] & c0)
         arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
         v = _flatten2(valid2)
+        if with_occ:
+            occ = jnp.maximum(occ, v.sum(axis=-1, dtype=_I32).max(axis=-1))
         (flo, rlo, size, err), valid, of = _compact(arrays, v, Fe)
         ovf_cap = ovf_cap | of.any(axis=-1)
         ovf_far = ovf_far | (far & act[None, :, None]).any(axis=(-2, -1))
-        return (flo, rlo, size, err, valid, ovf_cap, ovf_far), None
+        return (flo, rlo, size, err, valid, ovf_cap, ovf_far, occ), None
 
-    state, _ = jax.lax.scan(body, state, xs)
-    return state
+    occ0 = jnp.zeros(state[0].shape[0], _I32)
+    carry, _ = jax.lax.scan(body, tuple(state) + (occ0,), xs)
+    state, occ = carry[:-1], carry[-1]
+    return (state, occ) if with_occ else state
 
 
 def _balanced_schedule(n_right, n_left, pos_right, pos_left):
@@ -1010,20 +1017,23 @@ def _balanced_schedule_fused(n_right, n_left, pos_right, pos_left):
     return out
 
 
-def _ext_phase_fused(index, state, needles, sched, Fe, errors, exact):
+def _ext_phase_fused(index, state, needles, sched, Fe, errors, exact,
+                     with_occ=False):
     """One mixed-direction fused extension scan over a [B, M, Fe] frontier.
 
     sched: [4, T, M] (consume, right, posA, posB) static arrays; slots with
     consume=0 pass through (built into _candidate_step_fused).  The
     extension's error bound is a single cumulative cap, so the fused step's
-    mid-bound check is implied (errors only accumulate)."""
+    mid-bound check is implied (errors only accumulate).  `with_occ`: see
+    _ext_phase."""
     if sched.shape[1] == 0:
-        return state
+        return (state, jnp.zeros(state[0].shape[0], _I32)) if with_occ else state
     zero = jnp.zeros((), _I32)
 
     def body_for(with_mono, with_pass):
         def body(carry, x):
-            flo, rlo, size, err, valid, ovf_cap, ovf_far = carry
+            *st, occ = carry
+            flo, rlo, size, err, valid, ovf_cap, ovf_far = st
             consume, rightv, posA, posB = x  # [M] each
             nchA = needles[:, posA].astype(_U32)[:, :, None]  # [B, M, 1]
             nchB = needles[:, posB].astype(_U32)[:, :, None]
@@ -1035,10 +1045,14 @@ def _ext_phase_fused(index, state, needles, sched, Fe, errors, exact):
             )
             arrays = tuple(_flatten2(a) for a in (nflo, nrlo, nsize, err2))
             v = _flatten2(valid2)
+            if with_occ:
+                occ = jnp.maximum(
+                    occ, v.sum(axis=-1, dtype=_I32).max(axis=-1)
+                )
             (flo, rlo, size, err), valid, of = _compact(arrays, v, Fe)
             ovf_cap = ovf_cap | of.any(axis=-1)
             ovf_far = ovf_far | far.any(axis=(-2, -1))
-            return (flo, rlo, size, err, valid, ovf_cap, ovf_far), None
+            return (flo, rlo, size, err, valid, ovf_cap, ovf_far, occ), None
 
         return body
 
@@ -1047,15 +1061,18 @@ def _ext_phase_fused(index, state, needles, sched, Fe, errors, exact):
         (bool((sched[0, t] == 1).any()), bool((sched[0, t] == 0).any()))
         for t in range(T)
     ]
+    occ0 = jnp.zeros(state[0].shape[0], _I32)
+    carry = tuple(state) + (occ0,)
     t = 0
     while t < T:
         hi = t
         while hi < T and kind[hi] == kind[t]:
             hi += 1
         xs = tuple(jnp.asarray(sched[k, t:hi]) for k in range(4))
-        state, _ = jax.lax.scan(body_for(kind[t][0], kind[t][1]), state, xs)
+        carry, _ = jax.lax.scan(body_for(kind[t][0], kind[t][1]), carry, xs)
         t = hi
-    return state
+    state, occ = carry[:-1], carry[-1]
+    return (state, occ) if with_occ else state
 
 
 def _tree_levels(J: int, K: int) -> list:
@@ -1104,7 +1121,8 @@ def _tree_levels(J: int, K: int) -> list:
     return levels
 
 
-def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
+def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors,
+                     fe_sched=None, with_occ=False):
     """Extend infix survivors to every k-mer window of each block.
 
     k-mer j covers needle positions [j, j+K); the infix covers [J-1, K).
@@ -1114,15 +1132,31 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
     so total extension gathers are ~2·log2(J) per k-mer instead of the
     ~4·sqrt(J) of a flat two-level grouping — and left- and right-moving
     slots share each step's single row gather (_candidate_step_dir).
-    """
+
+    `fe_sched` (optional, [n_levels + 1] ints) sets a PER-LEVEL frontier
+    width (index 0 = the root compaction): per-node state demand shrinks as
+    nodes cover fewer k-mers and more consumed chars, so a measured decay
+    schedule gathers a fraction of a flat f_extend's rows.  Exceeding a
+    level's width sets the capacity-overflow flag exactly like a flat
+    frontier (the engine re-runs the extension at a wider rung).  `with_occ`
+    additionally returns the per-level maximum of per-(block, node)
+    candidate counts ([B, n_levels + 1] — the calibration signal)."""
     ext_exact = tier.exact if tier.ext_exact is None else tier.ext_exact
     Fe = tier.f_extend
+    levels = _tree_levels(J, K)
+    if fe_sched is None:
+        fe_sched = [Fe] * (len(levels) + 1)
+    assert len(fe_sched) == len(levels) + 1
     s_flo, s_rlo, s_size, s_err, s_valid = survivors[:5]
     ovf0 = jnp.zeros((B,), bool)
+    occs = []
 
-    # compact survivors into Fe slots (root frontier = node covering [0, J))
+    # compact survivors into the root slots (node covering [0, J))
+    F0 = int(fe_sched[0])
     arrays = (s_flo, s_rlo, s_size, s_err)
-    (r_flo, r_rlo, r_size, r_err), r_valid, of = _compact(arrays, s_valid, Fe)
+    if with_occ:
+        occs.append(s_valid.sum(axis=-1, dtype=_I32))
+    (r_flo, r_rlo, r_size, r_err), r_valid, of = _compact(arrays, s_valid, F0)
     ovf0 = ovf0 | of
 
     state = (
@@ -1131,28 +1165,59 @@ def _extend_to_kmers(index, survivors, needles, B, J, K, tier: Tier, errors):
         jnp.zeros((B,), bool),
     )
 
-    for pmap, n_right, n_left, pos_right, pos_left in _tree_levels(J, K):
+    for li, (pmap, n_right, n_left, pos_right, pos_left) in enumerate(levels):
+        Fl = int(fe_sched[li + 1])
         flo, rlo, size, err, valid, ovf_cap, ovf_far = state
         jm = jnp.asarray(pmap)
         state = tuple(
             jnp.take(a, jm, axis=1) for a in (flo, rlo, size, err, valid)
         ) + (ovf_cap, ovf_far)
+        if Fl != state[0].shape[-1]:
+            # level resize: shrink by compaction (demand decays down the
+            # tree), grow by zero-padding
+            flo, rlo, size, err, valid, ovf_cap, ovf_far = state
+            Fo = flo.shape[-1]
+            if Fl > Fo:
+                def up(a):
+                    z = jnp.zeros(a.shape[:-1] + (Fl - Fo,), a.dtype)
+                    return jnp.concatenate([a, z], axis=-1)
+
+                state = (up(flo), up(rlo), up(size), up(err), up(valid),
+                         ovf_cap, ovf_far)
+            else:
+                (flo, rlo, size, err), valid2, of = _compact(
+                    (flo, rlo, size, err), valid, Fl
+                )
+                state = (flo, rlo, size, err, valid2,
+                         ovf_cap | of.any(axis=-1), ovf_far)
+        occ_l = None
         if tier.dimer:
             sched = _balanced_schedule_fused(n_right, n_left, pos_right, pos_left)
             if sched.shape[1]:
                 # honor tier.exact: a forced exact dimer tier must use the
                 # two-gather dimer path so wide intervals compute instead of
                 # far-flagging with no tier left to escalate to
-                state = _ext_phase_fused(index, state, needles, sched, Fe,
-                                         errors, exact=ext_exact)
+                res = _ext_phase_fused(index, state, needles, sched, Fl,
+                                       errors, exact=ext_exact,
+                                       with_occ=with_occ)
+                state, occ_l = res if with_occ else (res, None)
         else:
             pos, right, act = _balanced_schedule(n_right, n_left, pos_right, pos_left)
             if len(pos):
-                state = _ext_phase(index, state, needles, pos, right, act, Fe,
-                                   errors, ext_exact)
+                res = _ext_phase(index, state, needles, pos, right, act, Fl,
+                                 errors, ext_exact, with_occ=with_occ)
+                state, occ_l = res if with_occ else (res, None)
+        if with_occ:
+            if occ_l is None:  # stepless level: demand = carried states
+                occ_l = state[4].sum(axis=-1, dtype=_I32).max(axis=-1)
+            occs.append(occ_l)
 
     flo, rlo, size, err, valid, ovf_cap, ovf_far = state
-    return (flo, rlo, size, err, valid), ovf_cap, ovf_far
+    out = ((flo, rlo, size, err, valid), ovf_cap, ovf_far)
+    if with_occ:
+        occ = jnp.clip(jnp.stack(occs, axis=1), 0, 65535).astype(jnp.uint16)
+        return out + (occ,)
+    return out
 
 
 def block_mapper_impl(
@@ -1442,6 +1507,8 @@ def make_extender(
     rev_compl: bool,
     exact: bool,
     dimer: bool = False,
+    fe_sched=None,
+    with_occ: bool = False,
 ):
     """Phase-B program of the split pipeline: extend device-resident infix
     survivor states to every k-mer window, sized to an Fe RUNG.
@@ -1456,22 +1523,30 @@ def make_extender(
     only affects speed.
 
     `exact=False` uses the one-gather fast rank path; far-flagged blocks
-    re-run on the exact variant at the same rung."""
+    re-run on the exact variant at the same rung.  `fe_sched` applies a
+    measured per-LEVEL frontier schedule (demand decays down the doubling
+    tree); `with_occ` returns the per-level demand maxima that calibrate
+    it."""
     tier = Tier(4, max(4, Fe), Fe, exact=exact, dimer=dimer,
                 ext_exact=exact)
     Ln = K + J - 1
+    if fe_sched is not None:
+        fe_sched = tuple(int(x) for x in fe_sched)
 
     from genmap_tpu.ops.rank import extract_needles
 
     def run_impl(index, dtext, starts, cnt, limit, flo, rlo, size, err, valid):
         needles = extract_needles(dtext, starts, Ln, limit)
-        states, cap2, far2 = _extend_to_kmers(
+        ext = _extend_to_kmers(
             index, (flo, rlo, size, err, valid), needles, B, J, K, tier,
-            errors,
+            errors, fe_sched=fe_sched, with_occ=with_occ,
         )
+        states, cap2, far2 = ext[:3]
         out = _count_tail(index, states, cnt, J, cap, rev_compl)
         out["overflow"] = out["overflow"] | cap2 | far2
         out["overflow_cap"] = out["overflow_cap"] | cap2
+        if with_occ:
+            out["ext_occ"] = ext[3]
         return out
 
     run_jit = jax.jit(run_impl)

@@ -136,6 +136,7 @@ def test_far_routes_to_next_tier_and_cap_skips_same_size():
                 )
 
 
+@pytest.mark.slow
 def test_final_tier_calibration_never_tightens():
     """ADVICE r4 (high): a single-tier ladder is its own final tier, so
     calibration there must not adopt tightened pools or a smaller f_extend —

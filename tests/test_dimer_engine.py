@@ -43,8 +43,8 @@ def _mk_data(seed=0, n=200_000, with_n=False, repeats=False, nseq=1):
     "K,e,o,with_n,repeats",
     [
         pytest.param(24, 0, 20, False, False, marks=pytest.mark.slow),
-        pytest.param(24, 1, 20, False, True, marks=pytest.mark.slow),
-        (36, 2, 24, False, True),  # quick tier: the branchy dimer case
+        (24, 1, 20, False, True),  # quick tier: cheap e=1 dimer engine case
+        pytest.param(36, 2, 24, False, True, marks=pytest.mark.slow),  # branchy e=2 case
         pytest.param(36, 2, 24, True, False, marks=pytest.mark.slow),
         pytest.param(50, 2, 31, False, False, marks=pytest.mark.slow),
     ],
@@ -76,6 +76,7 @@ def test_dimer_engine_matches_mono(K, e, o, with_n, repeats):
         )
 
 
+@pytest.mark.slow
 def test_dimer_engine_rev_compl_off_and_exact_outputs():
     data = _mk_data(seed=9, repeats=True)
     K, e, o = 30, 1, 24

@@ -116,7 +116,9 @@ def test_sequences_shorter_than_k():
         np.testing.assert_array_equal(res.c, expected, err_msg=f"k={k} o={o}")
 
 
-@pytest.mark.parametrize("errors", [0, 2])
+@pytest.mark.parametrize(
+    "errors", [0, pytest.param(2, marks=pytest.mark.slow)]
+)
 def test_multipart_matches_single(errors):
     """A forced sub-index split must produce identical frequencies (the parts
     partition whole sequences, so per-part counts add up exactly)."""

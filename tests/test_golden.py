@@ -19,7 +19,7 @@ CASES_DIR = "/root/reference/tests/test_cases"
 # (case, directory_index?, map flags)  — tests/CMakeLists.txt:56-73
 # quick tier: one representative per feature axis (Dna4, Dna5/N, e=1,
 # directory + exclude-pseudo, BED selection); the rest run in the full suite
-_QUICK = {"1b", "1c", "1f", "3d", "3e"}
+_QUICK = {"1b", "1c", "1f", "3d"}
 CASES = [
     ("1a", False, ["-E", "0", "-K", "3", "-nc"]),
     ("1b", False, ["-E", "0", "-K", "3"]),

@@ -17,6 +17,7 @@ def _mk_data(seed=0, n=4000):
     return build_index([ff], sampling=5)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single():
     import jax
 

@@ -132,6 +132,7 @@ def test_dimer_cut_mass_equals_mono_at_transitions():
         )
 
 
+@pytest.mark.slow
 def test_engine_dimer_probe_cut_matches_no_probe():
     K, e, o = 64, 2, 33
     data, _ = _mk_data(seed=11, n=100_000)
