@@ -571,23 +571,69 @@ def _main_measure(results: Results) -> None:
         # each config maps the 8-Mbp sub-layout (full-genome sweeps at
         # 64 Mbp blow the bench budget; the sub-layout keeps the 64 Mbp
         # index's search depth and repeat statistics, with dedup + probe
-        # fully engaged)
+        # fully engaged).  The sweep carries a deadline: the headline is
+        # already emitted, and one pathological config (cold compiles on
+        # the branch-heavy genome-like regime can run tens of minutes)
+        # must not eat the driver's whole budget.
+        sweep_deadline = time.time() + float(
+            os.environ.get("GENMAP_BENCH_SWEEP_BUDGET_S", "2400")
+        )
         configs = {}
         for Ks, Es in [(5, 0), (6, 0), (20, 1), (30, 2), (101, 0), (101, 1),
                        (101, 2), (101, 3), (101, 4)]:
+            if time.time() > sweep_deadline:
+                print(f"# config ({Ks},{Es}): SKIPPED (sweep budget)",
+                      file=sys.stderr)
+                configs[f"{Ks},{Es}"] = {"skipped": "sweep budget"}
+                results.set("configs", configs)
+                continue
             try:
-                xs = min(default_overlap(Ks, Es), Ks - 1, Ks - Es - 2)
-                ps = SearchParams(length=Ks, overlap=Ks - xs, rev_compl=True)
-                best = float("inf")
-                for rep in range(2):
-                    for k in eng.stats:
-                        eng.stats[k] = type(eng.stats[k])()
-                    t0 = time.time()
-                    eng.compute_file(layout_s, ps, Es, 65535)
-                    dt = time.time() - t0
-                    best = min(best, dt)
-                    st = dict(eng.stats)
-                nkc = L_s - Ks + 1
+                # hard per-config wall: a config stuck inside compute_file
+                # (cold compiles x deep escalation on branch-heavy
+                # genome-like text) must not hang the whole sweep
+                import signal as _signal
+
+                def _alarm(signum, frame):
+                    raise TimeoutError("config budget exceeded")
+
+                old_h = _signal.signal(_signal.SIGALRM, _alarm)
+                try:
+                    budget = int(
+                        max(60, min(900, sweep_deadline - time.time()))
+                    )
+                    xs = min(default_overlap(Ks, Es), Ks - 1, Ks - Es - 2)
+                    ps = SearchParams(length=Ks, overlap=Ks - xs,
+                                      rev_compl=True)
+                    # branch-heavy configs (tiny stepSize J) walk 4-8x more
+                    # blocks per base AND cost far more per block on
+                    # genome-like text: map a 2-Mbp slice there (the rate
+                    # stays per-kmer honest; the full-depth index is
+                    # unchanged)
+                    Lc = 2_000_000 + Ks if Ks - xs > Ks - 8 else L_s
+                    layout_c = _dc.replace(
+                        layout,
+                        chrom_lens=np.array([min(Lc, layout.length)], np.int64),
+                        cum_lens=np.array([0, min(Lc, layout.length)], np.int64),
+                        length=min(Lc, layout.length),
+                    )
+                    best = float("inf")
+                    for rep in range(2):
+                        for k in eng.stats:
+                            eng.stats[k] = type(eng.stats[k])()
+                        t0 = time.time()
+                        _signal.alarm(budget)
+                        try:
+                            eng.compute_file(layout_c, ps, Es, 65535)
+                        finally:
+                            _signal.alarm(0)
+                        dt = time.time() - t0
+                        best = min(best, dt)
+                        st = dict(eng.stats)
+                        if time.time() > sweep_deadline:
+                            break  # warm rep forgone; report measured rep
+                finally:
+                    _signal.signal(_signal.SIGALRM, old_h)
+                nkc = layout_c.length - Ks + 1
                 print(f"# config ({Ks},{Es}): {nkc} kmers end-to-end in "
                       f"{best:.1f}s warm -> {nkc / best:,.0f} kmers/s "
                       f"[{st['batches']} batches, dispatch {st['dispatch_s']:.1f}s, "

@@ -518,6 +518,7 @@ class MappabilityEngine:
         self.stats["tier_blocks"] = {}
         if self._record_tier_sel:
             self.stats["tier_sel"] = {}
+            self.stats["rung_sel"] = {}
             self.stats["routes"] = []
         pending = np.arange(len(starts))
         start_tier = 0  # probe residuals may start at the first exact tier
@@ -1093,13 +1094,18 @@ class MappabilityEngine:
             return B
 
         # split pipeline: single part, no mesh, plain counting runs (CSV /
-        # exact-key collection keep the fused per-tier programs)
+        # exact-key collection keep the fused per-tier programs), and only
+        # where the EXTENSION dominates (J >= 16): small-J branch-heavy
+        # configs shatter each batch into many tiny per-rung extender
+        # dispatches (measured (20,1): 4x slower than fused through the
+        # device link) while their calibrated fused pools already fit
         use_split = (
             collect_exact is None
             and not csv_needed
             and self.mesh is None
             and self.indices is not None
             and len(self.indices) == 1
+            and J >= 16
         )
         pending_at = [np.empty(0, np.int64) for _ in tiers]
         pending_at[start_tier] = np.asarray(pending, np.int64)
@@ -1404,8 +1410,14 @@ class MappabilityEngine:
     # mode at the same rung; capacity overflow advances the rung).
     _RUNGS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
               16384, 32768)
-    _EXACT_RUNG_MIN = 1024
-    _DIMER_RUNG_MIN = 16  # dimer's 16-wide candidate axis amortizes here
+    # measured on the genome-like corpus (r5): fast-first loses at >= 256
+    # (high-survivor blocks almost always hold SOME wide interval, so the
+    # whole block far-flags and pays a second pass), and dimer extension
+    # only wins in [16, 128] — beyond that the compaction sort over the
+    # 16-wide fused candidate axis eats the gather savings
+    _EXACT_RUNG_MIN = 256
+    _DIMER_RUNG_MIN = 16
+    _DIMER_RUNG_MAX = 128
 
     def _run_tier_split(
         self, t_i, tier, pending, B, tuned_i, c, layout, starts, cnts,
@@ -1576,7 +1588,9 @@ class MappabilityEngine:
                             dispatch_b(
                                 a_out, rs[cap_rows], gs[cap_rows], nxt,
                                 exact or nxt >= self._EXACT_RUNG_MIN,
-                                dimer and nxt >= self._DIMER_RUNG_MIN,
+                                dimer
+                                and self._DIMER_RUNG_MIN <= nxt
+                                <= self._DIMER_RUNG_MAX,
                             )
                 if one:
                     break
@@ -1614,7 +1628,9 @@ class MappabilityEngine:
                         dispatch_b(
                             a_out, live[m], sel[live[m]], int(r),
                             int(r) >= self._EXACT_RUNG_MIN,
-                            dimer_ext and int(r) >= self._DIMER_RUNG_MIN,
+                            dimer_ext
+                            and self._DIMER_RUNG_MIN <= int(r)
+                            <= self._DIMER_RUNG_MAX,
                         )
                 if t_i == start_tier and progress is not None:
                     progress.add(len(sel))
